@@ -1,0 +1,521 @@
+package graft.extract
+
+import java.util.Locale
+import java.util.regex.Pattern
+import scala.collection.mutable
+import graft.model.{DateHit, Entity, Span}
+
+/** Pure-JVM reimplementation of the reference's per-document extraction
+  * semantics (CzarX86/PapperMate). Every function here is deterministic,
+  * thread-safe (patterns precompiled, no shared mutable state) and is the
+  * single source of truth used by the Spark UDFs, the salted/partial
+  * extraction path, and the golden-fixture tests.
+  *
+  * Faithfulness notes (verified against the live reference parser):
+  *  - The markdown section-header regex `^#{1,2,3}\s+(.+)$`
+  *    (services/contract_parser.py:252) contains an INVALID Python
+  *    quantifier, so Python matches the literal text `#{1,2,3}` — real
+  *    markdown headers never match and sections always come from the
+  *    bold-pattern fallback (:271). We reproduce that exactly.
+  *  - The pt-month date pattern (services/contract_parser.py:36) captures
+  *    only 2 groups, and `_extract_dates` (:385) requires 3 — month-name
+  *    dates are therefore NEVER emitted. We only run the two live patterns.
+  *  - `_parse_amount` (:467-483) strips chars in class `[R$US$USD€£\s]`,
+  *    which makes `US$ 50,000.00` parse to 50.0 (pinned by
+  *    tests/parser/test_contract_parser.py:245).
+  *  - `_normalize_entity_text` for AMOUNT (processing/entity_extractor.py:
+  *    397-405) keeps only chars `[Vdt .,]` — digits are stripped, so all
+  *    same-type amounts collapse to punctuation soup. Reproduced verbatim.
+  *  - Python `list(set(...))` dedups (:315,:320) are order-nondeterministic;
+  *    we sort for cluster determinism (the reference tests only check
+  *    membership).
+  */
+object Rules {
+
+  // ---- precompiled patterns (services/contract_parser.py:27-37,115-187) ----
+  private val TitleP = Pattern.compile("(?m)^#{1,2}\\s+(.+)$")
+  private val ContractNumP = Pattern.compile(
+    "(?i)(?:contract\\s+number|número\\s+do\\s+contrato|ref|reference)[\\s:]*([A-Z0-9\\-_/]+)")
+  private val BoldContractNumP =
+    Pattern.compile("\\*\\*Contract Number:\\*\\*\\s*([A-Z0-9\\-_/]+)")
+  private val CurrencyP = Pattern.compile("(?i)(R\\$|US\\$|USD|BRL|EUR|€|£)")
+  private val AmountP = Pattern.compile(
+    "(?i)(?:valor|value|amount|total)[\\s:]*([R$US$USD€£]?\\s*[\\d,]+\\.?\\d*)")
+  private val BoldAmountP = Pattern.compile(
+    "\\*\\*Total Value:\\*\\*\\s*([R$US$USD€£]?\\s*[\\d,]+\\.?\\d*)")
+  private val EmailP = Pattern.compile(
+    "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b")
+  private val CnpjCpfP = Pattern.compile(
+    "(?:\\d{2}\\.\\d{3}\\.\\d{3}/\\d{4}-\\d{2}|\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2})")
+  private val DateDmyP = Pattern.compile("(?i)(\\d{1,2})/(\\d{1,2})/(\\d{4})")
+  private val DateYmdP = Pattern.compile("(?i)(\\d{4})-(\\d{1,2})-(\\d{1,2})")
+  private val BoldEffectiveP =
+    Pattern.compile("\\*\\*Effective Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+  private val BoldExpirationP =
+    Pattern.compile("\\*\\*Expiration Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+  private val BoldClientP = Pattern.compile("\\*\\*Client:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
+  private val BoldVendorP = Pattern.compile("\\*\\*Vendor:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
+  private val ClientPs = Seq(
+    "(?i)(?:cliente|client|contratante|buyer)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)",
+    "(?i)(?:empresa|company|corporation)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)"
+  ).map(Pattern.compile)
+  private val VendorPs = Seq(
+    "(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)",
+    "(?i)(?:prestador|provider|contractor)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)"
+  ).map(Pattern.compile)
+  private val TableLineP = Pattern.compile("(?m)^\\|.*\\|$")
+  // Python's broken `^#{1,2,3}\s+(.+)$` == literal "#{1,2,3}" prefix:
+  private val BrokenHeaderP = Pattern.compile("^#\\{1,2,3\\}\\s+(.+)$")
+  private val BoldSectionP = Pattern.compile("\\*\\*([^*]+):\\*\\*([^*\\n]*)")
+  private val AmountStripP = Pattern.compile("[R$US$USD€£\\s]")
+  private val YearP = Pattern.compile("\\b(19|20)\\d{2}\\b")
+  private val EntityAmountKeepP = Pattern.compile("[^Vdt .,]+")
+
+  /** services/contract_parser.py:41-48 — order matters for key_clauses. */
+  val SectionHeaders: Seq[String] = Seq(
+    "vigência", "duração", "termo", "prazo", "expiração",
+    "rescisão", "terminação", "cancelamento",
+    "confidencialidade", "sigilo", "não divulgação",
+    "pagamentos", "pagamento", "valor", "preço", "compensação",
+    "obrigações", "responsabilidades", "deveres",
+    "foro", "jurisdição", "lei aplicável", "disputas")
+
+  private def firstMatch(p: Pattern, s: String): Option[String] = {
+    val m = p.matcher(s)
+    if (m.find()) Option(m.group(1)) else None
+  }
+  private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  /** P1 — first `#`/`##` heading (contract_parser.py:115-117). */
+  def title(content: String): Option[String] =
+    firstMatch(TitleP, content).map(_.trim)
+
+  /** P2 (plain) — the JSON/block path uses only this pattern (:209-213). */
+  def contractNumberPlain(content: String): Option[String] =
+    firstMatch(ContractNumP, content).map(_.trim)
+
+  /** P2 — contract number with bold-markdown fallback (:119-130). */
+  def contractNumber(content: String): Option[String] =
+    contractNumberPlain(content)
+      .orElse(firstMatch(BoldContractNumP, content).map(_.trim))
+
+  /** P3 — first currency token (:133-135). */
+  def currency(content: String): Option[String] = firstMatch(CurrencyP, content)
+
+  /** P4 — amount parse with the reference's exact char-strip + locale
+    * normalization quirks (:467-483). */
+  def parseAmount(amountStr: String): Option[Double] = {
+    var clean = AmountStripP.matcher(amountStr).replaceAll("")
+    if (clean.contains(",") && clean.contains("."))
+      clean = clean.replace(".", "").replace(",", ".")   // 150.000,00 -> 150000.00
+    else if (clean.contains(","))
+      clean = clean.replace(",", ".")                    // 25,5 -> 25.5
+    try Some(clean.toDouble) catch { case _: NumberFormatException => None }
+  }
+
+  /** Markdown metadata amount flow (:133-148): amount only sought when a
+    * currency matched; bold total-value fallback when absent/unparseable. */
+  def totalValue(content: String): Option[Double] = {
+    val fromLabel =
+      if (currency(content).isDefined)
+        firstMatch(AmountP, content).flatMap(parseAmount)
+      else None
+    // Python truthiness: a parsed 0.0 still triggers the bold fallback.
+    fromLabel.filter(_ != 0.0)
+      .orElse(firstMatch(BoldAmountP, content).flatMap(parseAmount))
+  }
+
+  /** P5 — multi-pattern date extraction (:377-415). Only the DD/MM/YYYY and
+    * YYYY-MM-DD patterns are live (see class Scaladoc); invalid calendar
+    * dates are skipped; result stable-sorted by match position. */
+  def extractDates(content: String): Seq[DateHit] = {
+    val out = mutable.ArrayBuffer.empty[DateHit]
+    def valid(y: Int, mo: Int, d: Int): Option[String] =
+      try { val ld = java.time.LocalDate.of(y, mo, d); Some(ld.toString) }
+      catch { case _: java.time.DateTimeException => None }
+    val m1 = DateDmyP.matcher(content)
+    while (m1.find()) {
+      valid(m1.group(3).toInt, m1.group(2).toInt, m1.group(1).toInt)
+        .foreach(d => out += DateHit(d, m1.group(0), m1.start()))
+    }
+    val m2 = DateYmdP.matcher(content)
+    while (m2.find()) {
+      valid(m2.group(1).toInt, m2.group(2).toInt, m2.group(3).toInt)
+        .foreach(d => out += DateHit(d, m2.group(0), m2.start()))
+    }
+    out.sortBy(_.position).toSeq   // stable, like Python list.sort
+  }
+
+  /** Markdown date flow with bold fallbacks (:150-169): bold dates only
+    * consulted when the generic extraction found nothing; expiration only
+    * appended when the effective fallback succeeded. */
+  def datesMarkdown(content: String): Seq[DateHit] = {
+    val generic = extractDates(content)
+    if (generic.nonEmpty) generic
+    else {
+      val eff = {
+        val m = BoldEffectiveP.matcher(content)
+        if (m.find()) extractDates(m.group(0)) else Seq.empty
+      }
+      if (eff.nonEmpty) {
+        val exp = {
+          val m = BoldExpirationP.matcher(content)
+          if (m.find()) extractDates(m.group(0)) else Seq.empty
+        }
+        eff ++ exp
+      } else eff
+    }
+  }
+
+  /** P6 — party extraction, first-match-wins over ordered patterns
+    * (:417-446). Returns (client, vendor). */
+  def parties(content: String): (Option[String], Option[String]) = {
+    val c = ClientPs.view.flatMap(p => firstMatch(p, content)).headOption.map(_.trim)
+    val v = VendorPs.view.flatMap(p => firstMatch(p, content)).headOption.map(_.trim)
+    (c, v)
+  }
+
+  /** Markdown party flow with bold fallbacks (:171-187). */
+  def partiesMarkdown(content: String): (Option[String], Option[String]) = {
+    val (c0, v0) = parties(content)
+    val c = c0.orElse(firstMatch(BoldClientP, content).map(_.trim))
+    val v = v0.orElse(firstMatch(BoldVendorP, content).map(_.trim))
+    (c, v)
+  }
+
+  /** P7 — keyword containment type detection, priority order as written
+    * (:448-465). NOTE the reference quirks: bare substrings like "cr" match
+    * inside any word — reproduced. */
+  def contractType(content: String): Option[String] = {
+    val c = lower(content)
+    def any(ts: String*) = ts.exists(c.contains)
+    if (any("master service agreement", "msa", "acordo quadro")) Some("MSA")
+    else if (any("local service agreement", "lsa", "acordo local")) Some("LSA")
+    else if (any("statement of work", "sow", "escopo de trabalho")) Some("SOW")
+    else if (any("project work order", "pwo", "ordem de serviço")) Some("PWO")
+    else if (any("change request", "cr", "solicitação de mudança")) Some("CR")
+    else if (any("change notification form", "cnf", "formulário de notificação")) Some("CNF")
+    else None
+  }
+
+  /** P8 — emails, deduped; sorted for determinism (:312-315). */
+  def emails(content: String): Seq[String] = {
+    val m = EmailP.matcher(content)
+    val out = mutable.LinkedHashSet.empty[String]
+    while (m.find()) out += m.group(0)
+    out.toSeq.sorted
+  }
+
+  /** P9 — CNPJ/CPF, deduped + sorted (:317-320). */
+  def cnpjCpf(content: String): Seq[String] = {
+    val m = CnpjCpfP.matcher(content)
+    val out = mutable.LinkedHashSet.empty[String]
+    while (m.find()) out += m.group(0)
+    out.toSeq.sorted
+  }
+
+  /** P10 — markdown table detection (:322-328). Returns (count, hasHeaders). */
+  def tables(content: String): (Int, Boolean) = {
+    val m = TableLineP.matcher(content)
+    var n = 0; var hdr = false
+    while (m.find()) { n += 1; if (m.group(0).contains("---")) hdr = true }
+    (n, hdr)
+  }
+
+  /** P11 — key-clause flags: ordered list of section headers present as
+    * substrings of the lowercased content (:330-337). */
+  def keyClauses(content: String): Seq[String] = {
+    val c = lower(content)
+    SectionHeaders.filter(h => c.contains(h))
+  }
+
+  /** Sections from markdown (:241-280): broken-header scan (literal
+    * `#{1,2,3}`), then bold-pattern fallback. Last-wins per key, insertion
+    * order preserved (Python dict semantics). */
+  def sectionsMarkdown(content: String): Seq[(String, String)] = {
+    val sections = mutable.LinkedHashMap.empty[String, String]
+    var current: Option[String] = None
+    val buf = mutable.ArrayBuffer.empty[String]
+    for (line <- content.split("\n", -1)) {
+      val m = BrokenHeaderP.matcher(line)
+      if (m.matches() || m.lookingAt()) {
+        if (current.isDefined && buf.nonEmpty)
+          sections(current.get) = buf.mkString("\n").trim
+        current = Some(lower(m.group(1)))
+        buf.clear()
+      } else if (current.isDefined) buf += line
+    }
+    if (current.isDefined && buf.nonEmpty)
+      sections(current.get) = buf.mkString("\n").trim
+    if (sections.isEmpty) {
+      val m = BoldSectionP.matcher(content)
+      while (m.find()) {
+        val name = lower(m.group(1)); val body = m.group(2).trim
+        if (body.nonEmpty) sections(name) = body
+      }
+    }
+    sections.toSeq
+  }
+
+  /** Sections from ordered blocks (:282-306): heading opens a section,
+    * paragraphs accumulate; empty accumulations are dropped. */
+  def sectionsFromBlocks(blocks: Seq[Span]): Seq[(String, String)] = {
+    val sections = mutable.LinkedHashMap.empty[String, String]
+    var current: Option[String] = None
+    val buf = mutable.ArrayBuffer.empty[String]
+    for (b <- blocks) {
+      if (b.kind == "heading") {
+        if (current.isDefined && buf.nonEmpty)
+          sections(current.get) = buf.mkString("\n").trim
+        current = Some(lower(Option(b.text).getOrElse("")))
+        buf.clear()
+      } else if (b.kind == "paragraph" && current.isDefined)
+        buf += Option(b.text).getOrElse("")
+    }
+    if (current.isDefined && buf.nonEmpty)
+      sections(current.get) = buf.mkString("\n").trim
+    sections.toSeq
+  }
+
+  /** P23 — extraction confidence (:544-577). `datesNonEmpty` etc. mirror the
+    * metadata-dict truthiness checks. */
+  def confidence(hasTitle: Boolean, hasNumber: Boolean, hasBothParties: Boolean,
+                 hasDates: Boolean, nSections: Int, nClauses: Int): Double = {
+    var score = 0.0
+    if (hasTitle) score += 1.0
+    if (hasNumber) score += 1.0
+    if (hasBothParties) score += 1.0
+    if (hasDates) score += 1.0
+    if (nSections > 0) score += math.min(nSections / 5.0, 1.0)
+    if (nClauses > 0) score += math.min(nClauses / 3.0, 1.0)
+    score / 6.0
+  }
+
+  /** P15 — ≤512-char chunking preferring sentence boundaries
+    * (processing/entity_extractor.py:346-362). */
+  def chunkText(text: String, maxLength: Int = 512): Seq[(Int, String)] = {
+    val chunks = mutable.ArrayBuffer.empty[(Int, String)]
+    var start = 0
+    while (start < text.length) {
+      var end = start + maxLength
+      if (end < text.length) {
+        val lastPeriod = text.lastIndexOf('.', end - 1)  // == rfind('.', start, end)
+        if (lastPeriod > start) end = lastPeriod + 1
+      }
+      val e = math.min(end, text.length)
+      chunks += ((start, text.substring(start, e)))
+      start = e
+    }
+    chunks.toSeq
+  }
+
+  /** P16 — sentence segmentation + heuristic class (:364-384). */
+  def segments(text: String): Seq[(String, String)] = {
+    text.split("\\.", -1).toSeq.map(_.trim).filter(_.length >= 10).flatMap { s =>
+      val l = lower(s)
+      if (Seq("$", "€", "£", "amount", "value", "cost").exists(l.contains))
+        Some((s, "amount"))
+      else if (Seq("date", "effective", "expiration", "valid").exists(l.contains))
+        Some((s, "date"))
+      else if (Seq("contract", "agreement", "sow", "msa").exists(l.contains))
+        Some((s, "identifier"))
+      else None
+    }
+  }
+
+  private val DateTypes = Set("START_DATE", "END_DATE", "SIGNATURE_DATE",
+    "EFFECTIVE_DATE", "EXPIRATION_DATE")
+
+  /** P17 — entity-text normalization (:386-407), including the reference's
+    * digit-stripping AMOUNT mangle. Date normalization restricted to the
+    * formats the tests pin (ISO + M/d/yyyy, dateutil's default US order). */
+  def normalizeEntity(entityType: String, rawText: String): String = {
+    val text = lower(rawText).trim
+    if (DateTypes.contains(entityType)) {
+      parseDateLoose(text).getOrElse(text)
+    } else if (entityType == "AMOUNT") {
+      var t = EntityAmountKeepP.matcher(text).replaceAll("")
+      t = t.replace(".", "").replace(",", ".")
+      try java.lang.Double.parseDouble(t).toString
+      catch { case _: NumberFormatException => t }
+    } else text
+  }
+
+  private def parseDateLoose(s: String): Option[String] = {
+    val iso = DateYmdP.matcher(s)
+    if (iso.matches())
+      return try Some(java.time.LocalDate.of(iso.group(1).toInt,
+        iso.group(2).toInt, iso.group(3).toInt).toString)
+      catch { case _: java.time.DateTimeException => None }
+    val us = DateDmyP.matcher(s)   // dateutil default: month first
+    if (us.matches())
+      return try Some(java.time.LocalDate.of(us.group(3).toInt,
+        us.group(1).toInt, us.group(2).toInt).toString)
+      catch { case _: java.time.DateTimeException => None }
+    None
+  }
+
+  /** A1 — dedup-merge: stable sort by confidence desc, keep first per
+    * (normalized_text, entity_type) (:409-434). */
+  def dedupEntities(entities: Seq[Entity]): Seq[Entity] = {
+    val sorted = entities.sortBy(e => -e.confidence)   // stable
+    val seen = mutable.HashSet.empty[(String, String)]
+    sorted.filter { e =>
+      seen.add((normalizeEntity(e.entity_type, e.text), e.entity_type))
+    }
+  }
+
+  /** P18 — year extraction (scripts/system_contract_organizer.py:209-220). */
+  def extractYear(dateString: String): String = {
+    if (dateString == null || dateString.isEmpty) return ""
+    val m = YearP.matcher(dateString)
+    if (m.find()) m.group(0) else ""
+  }
+
+  /** P19 — supplier normalize (:222-235). */
+  def normalizeSupplier(supplier: String): String = {
+    if (supplier == null || supplier.isEmpty) return "Unknown"
+    val repl = supplier.replace(' ', '_').replace('-', '_')
+    val kept = repl.filter(c => Character.isLetterOrDigit(c) || c == '_')
+    if (kept.length > 50) kept.substring(0, 50) else kept
+  }
+
+  /** P20 — canonical filename (:237-263). */
+  def canonicalFilename(supplier: String, contractType: String,
+                        startYear: String, endYear: String, contractId: String): String = {
+    val sup = normalizeSupplier(supplier)
+    val typ = if (contractType == null || contractType.isEmpty) "UNKNOWN"
+              else contractType.toUpperCase(Locale.ROOT)
+    val years = if (startYear == endYear) startYear else s"${startYear}_$endYear"
+    var id = Option(contractId).getOrElse("")
+      .replace(" ", "_").replace("/", "_").replace("-", "_")
+    if (id.isEmpty || id == "null") id = "UNKNOWN_ID"
+    val fn = s"${sup}_${typ}_${years}_$id.pdf"
+    fn.filter(c => Character.isLetterOrDigit(c) || "._-".contains(c))
+  }
+
+  /** P21 — rename-vs-translate decision (:265-277). */
+  def operationType(originalFilename: String): String = {
+    if (!isAsciiSafe(originalFilename)) "translate"
+    else "rename"   // both branches of the ASCII path return "rename"
+  }
+
+  /** P12 — ASCII-safe filename predicate (services/file_handler.py:578-592). */
+  def isAsciiSafe(filename: String): Boolean =
+    filename != null && filename.forall(_ < 128)
+
+  // ---- P13/P14 filename sanitize via deterministic fallback term map ----
+
+  /** services/file_handler.py:301-323 — first delimiter that occurs wins. */
+  def splitFilenameParts(filename: String): Seq[String] = {
+    val delimiters = Seq("_", "-", " ", "　", "、", "。", "（", "）")
+    delimiters.find(filename.contains).map { d =>
+      val parts = filename.split(Pattern.quote(d), -1).toSeq
+        .map(_.trim).filter(p => p.nonEmpty && p.length > 1)
+      if (parts.nonEmpty) parts else Seq(filename)
+    }.getOrElse(Seq(filename))
+  }
+
+  /** services/file_handler.py:346-389 — deterministic CJK→EN term map.
+    * Iteration order matters (longer keys listed first in the reference). */
+  val TermMap: Seq[(String, String)] = Seq(
+    "【" -> "", "】" -> "",
+    "御見積書" -> "Quotation",
+    "見積書" -> "Quotation",
+    "見積" -> "Estimate",
+    "請求書" -> "Invoice",
+    "契約" -> "Contract",
+    "契約書" -> "Contract",
+    "システム" -> "System",
+    "運用" -> "Operations",
+    "サポート" -> "Support",
+    "合同" -> "Contract",
+    "报价" -> "Quotation",
+    "系统" -> "System",
+    "支持" -> "Support")
+
+  def fallbackMapFilename(baseName: String): String = {
+    val parts = splitFilenameParts(baseName)
+    val mapped = parts.map { part0 =>
+      var part = part0
+      for ((k, v) <- TermMap) if (part.contains(k)) part = part.replace(k, v)
+      if (part.nonEmpty) part else part0
+    }
+    if (mapped.isEmpty) baseName else mapped.mkString("_")
+  }
+
+  /** services/file_handler.py:325-344 — cleanup of translated text. */
+  def cleanTranslatedText(text: String): String = {
+    var t = text.replaceAll("[\"'`]", "")
+    t = t.replaceAll("[^\\w\\s\\-]", "_")
+    t = t.replaceAll("\\s+", "_")
+    t.replaceAll("^_+|_+$", "")
+  }
+
+  /** Full deterministic sanitize path (no translation provider):
+    * file_handler.py:290-299. Returns (sanitizedFilename, status). */
+  def sanitizeFilename(filename: String): (String, String) = {
+    if (isAsciiSafe(filename)) (filename, "ok")
+    else {
+      val dot = filename.lastIndexOf('.')
+      val (base, ext) = if (dot >= 0) (filename.substring(0, dot), filename.substring(dot))
+                        else (filename, "")
+      val mapped = fallbackMapFilename(base)
+      if (mapped.nonEmpty && mapped != base)
+        (cleanTranslatedText(mapped) + ext, "failed_fallback_applied")
+      else (filename, "failed")
+    }
+  }
+
+  // ---- P22 table-cell text cleanup (services/table_processor_fixed.py) ----
+  private val DotLeaderP1 = Pattern.compile("(\\s\\.){2,}")
+  private val DotLeaderP2 = Pattern.compile("\\.{2,}")
+
+  /** Finalize one cell line (:394-415): drop "."/empty, strip dot leaders,
+    * normalize the 4 listed unicode spaces (:417-435). ftfy.fix_text is
+    * reduced to identity — only the listed code points are load-bearing. */
+  def cleanCellLine(line: String): Option[String] = {
+    val t0 = line.trim
+    if (t0.isEmpty || t0 == ".") return None
+    var t = DotLeaderP1.matcher(t0).replaceAll("")
+    t = DotLeaderP2.matcher(t).replaceAll("")
+    t = normalizeSpaces(t)
+    Some(t)
+  }
+
+  def normalizeSpaces(text: String): String =
+    text.replace('\u2003', ' ').replace('\u2002', ' ')
+      .replace('\u00a0', ' ').replace("\u200b", " ")
+
+  /** P25 — lineage op hash (scripts/system_contract_organizer.py:359-362). */
+  def opHash(ts: String, operation: String, originalPath: String, newPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(s"$ts$operation$originalPath$newPath".getBytes("UTF-8"))
+    bytes.map("%02x".format(_)).mkString
+  }
+
+  // ---- P26 boilerplate strip (north-rule addition; Boilerpipe-style) ----
+  private val LinkP = Pattern.compile("(?i)<a\\b[^>]*>(.*?)</a>")
+  private val TagP = Pattern.compile("<[^>]+>")
+
+  /** Text density = plain-text chars / total chars; link density = chars
+    * inside <a> tags / plain-text chars. A span is content when
+    * textDensity >= tauText && linkDensity <= tauLink. */
+  def htmlDensities(html: String): (Double, Double) = {
+    if (html == null || html.isEmpty) return (0.0, 0.0)
+    val linkM = LinkP.matcher(html)
+    var linkChars = 0
+    while (linkM.find()) {
+      linkChars += TagP.matcher(linkM.group(1)).replaceAll("").length
+    }
+    val text = TagP.matcher(html).replaceAll("")
+    val textDensity = if (html.isEmpty) 0.0 else text.length.toDouble / html.length
+    val linkDensity = if (text.isEmpty) 1.0 else linkChars.toDouble / text.length
+    (textDensity, linkDensity)
+  }
+
+  def isContentHtml(html: String, tauText: Double = 0.35, tauLink: Double = 0.33): Boolean = {
+    val (td, ld) = htmlDensities(html)
+    td >= tauText && ld <= tauLink
+  }
+}

@@ -1,0 +1,138 @@
+package graft.gen
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.{Doc, Span}
+
+/** Deterministic synthesizer of the interleaved text+media corpus
+  * (BASELINE.json `input_hint`: doc_id + ordered typed spans).
+  *
+  * Derives one contract-shaped document per row of the driver-provided
+  * `documents.parquet` seed table (doc_id, text, ...). Everything is a pure
+  * function of `doc_id` + the seed text — no wall clock, no RNG state —
+  * so the corpus is bit-reproducible at any scale and under any
+  * partitioning (SURVEY §7.4.5).
+  *
+  * The rendered documents mirror the reference's own test fixtures
+  * (tests/parser/test_contract_parser.py:26-73): heading/paragraph blocks
+  * carrying contract number, parties, amounts, dates, clause sections —
+  * interleaved with html boilerplate spans (nav/footer with link farms vs
+  * content divs, exercising P26), pure media spans, and markdown tables.
+  * ~1% of docs form a skew tail with `MegaFactor`× the body spans to
+  * exercise the salted repartition path (SURVEY §4).
+  */
+object Corpus {
+
+  /** splitmix64 — public-domain mixing function; stable across JVMs. */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def pick[T](h: Long, shift: Int, xs: IndexedSeq[T]): T =
+    xs((((h >>> shift) % xs.length + xs.length) % xs.length).toInt)
+
+  val Clients: IndexedSeq[String] = IndexedSeq(
+    "TechCorp Inc.", "Global Finance SA", "Acme Holdings", "Banco Azul SA",
+    "Norte Energia Ltda", "Prime Retail Group", "Delta Logistics Co.",
+    "Vertex Pharma AG")
+  val Vendors: IndexedSeq[String] = IndexedSeq(
+    "DevSolutions Ltd.", "CloudWorks GmbH", "DataBridge Services",
+    "InfraNet Partners", "Quantum Consulting", "Skyline Systems",
+    "NimbusSoft SA", "Orbital Analytics")
+  /** (type keyword rendered in the title, expected detected type). The
+    * detector's priority quirks (bare "cr" etc.) are avoided here by using
+    * full phrases; quirk coverage lives in the unit tests. */
+  val TypePhrases: IndexedSeq[String] = IndexedSeq(
+    "Master Service Agreement", "Local Service Agreement",
+    "Statement of Work", "Project Work Order", "Change Request",
+    "Change Notification Form")
+  val TypeCodes: IndexedSeq[String] =
+    IndexedSeq("MSA", "LSA", "SOW", "PWO", "CR", "CNF")
+
+  val MegaModulus = 101      // doc_id % 101 == 0 -> mega doc
+  val MegaFactor = 64        // body repetition factor for the skew tail
+
+  /** Render one deterministic document. `seedText` feeds filler paragraphs. */
+  def synth(docId: Long, seedText: String): Doc = {
+    val h = mix(docId)
+    val hasNumber = (h & 0xf) != 0           // ~6% missing contract number
+    val hasDates = ((h >>> 4) & 0xf) < 13    // ~19% missing dates
+    val hasParties = ((h >>> 8) & 0xf) != 1  // ~6% missing parties
+    val typeIdx = (((h >>> 12) % 6 + 6) % 6).toInt
+    val client = pick(h, 16, Clients)
+    val vendor = pick(h, 20, Vendors)
+    val year = 2019 + (((h >>> 24) % 7 + 7) % 7).toInt
+    val month = 1 + (((h >>> 28) % 12 + 12) % 12).toInt
+    val day = 1 + (((h >>> 32) % 28 + 28) % 28).toInt
+    val amountCents = ((h >>> 36) & 0xffffff) + 1000
+    val number = f"${TypeCodes(typeIdx)}-$year-${(h >>> 44) & 0xfff}%04d"
+    val curIdx = (((h >>> 40) % 4 + 4) % 4).toInt
+
+    // Amount rendered in one of the reference's four locale shapes (P4).
+    val units = amountCents / 100; val cents = amountCents % 100
+    val br = f"${units}%,d".replace(",", ".") + f",$cents%02d"
+    val us = f"${units}%,d" + f".$cents%02d"
+    val amountStr = curIdx match {
+      case 0 => s"R$$ $br"
+      case 1 => s"US$$ $us"
+      case 2 => s"€ $br"
+      case _ => br
+    }
+
+    val d1 = f"$day%02d/$month%02d/$year"
+    val d2 = f"$day%02d/$month%02d/${year + 2}"
+
+    val b = Vector.newBuilder[(String, String, String)] // (kind, text, media_ref)
+    // html boilerplate: link-farm nav (stripped by P26) before content
+    b += (("html", s"""<div class="nav"><a href="/h">Home</a> <a href="/c">Contracts</a> <a href="/a">About</a> <a href="/l">Legal</a></div>""", ""))
+    b += (("heading", s"${TypePhrases(typeIdx)}", ""))
+    b += (("paragraph", s"Contract Information", ""))
+    if (hasNumber) b += (("paragraph", s"Contract Number: $number", ""))
+    if (hasParties) {
+      b += (("paragraph", s"Client: $client", ""))
+      b += (("paragraph", s"Vendor: $vendor", ""))
+    }
+    b += (("paragraph", s"Total Value: $amountStr", ""))
+    if (hasDates) {
+      b += (("paragraph", s"Effective Date: $d1", ""))
+      b += (("paragraph", s"Expiration Date: $d2", ""))
+    }
+    b += (("media", "", s"corpus://img/$docId-0.jpg"))
+    b += (("heading", "Key Clauses", ""))
+    b += (("paragraph", s"Vigência: valid from $year.", ""))
+    b += (("paragraph", s"Pagamentos: monthly invoicing applies.", ""))
+    b += (("paragraph", s"Confidencialidade: all terms are confidential.", ""))
+    b += (("table", "| item | qty |\n|---|---|\n| support | 12 |", ""))
+    b += (("paragraph", s"Email: contact${docId % 97}@corp${docId % 13}.com", ""))
+    val cnpj = f"${(h >>> 3) % 90 + 10}%02d.${(h >>> 7) % 900 + 100}%03d.${(h >>> 13) % 900 + 100}%03d/0001-${(h >>> 17) % 90 + 10}%02d"
+    b += (("paragraph", s"CNPJ: $cnpj", ""))
+
+    // filler body from the seed text, repeated for the skew tail
+    val reps = if (docId % MegaModulus == 0) MegaFactor else 1
+    val sentences = Option(seedText).getOrElse("")
+      .split("\\. ").iterator.filter(_.nonEmpty).take(8).toVector
+    var r = 0
+    while (r < reps) {
+      b += (("heading", s"Annex $r", ""))
+      for (s <- sentences) b += (("paragraph", s, ""))
+      if (((h >>> r % 32) & 3) == 0) b += (("media", "", s"corpus://img/$docId-${r + 1}.jpg"))
+      r += 1
+    }
+    // html boilerplate: content div (kept by P26) + footer link farm
+    b += (("html", s"""<div class="main"><p>Execution terms for contract $number follow the master schedule and annexes described above in this document body.</p></div>""", ""))
+    b += (("html", s"""<div class="footer"><a href="/p">Privacy</a> <a href="/t">Terms</a> <a href="/s">Sitemap</a></div>""", ""))
+
+    val spans = b.result().zipWithIndex.map { case ((k, t, mr), i) => Span(k, t, mr, i) }
+    Doc(s"doc-$docId", spans)
+  }
+
+  /** The synthesized corpus as a typed Dataset, seeded from the driver's
+    * documents table. Narrow (no shuffle): parquet scan -> map. */
+  def corpus(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => synth(id, text) }
+  }
+}

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import graft.extract.{Extract, Rules}
+import graft.model.{ContractRow, Doc, LineageRec, Span}
+
+/** End-to-end extraction pipeline (SURVEY §3.3 re-expressed Spark-first).
+  *
+  * Scale design:
+  *  - The direct path is a NARROW plan: parquet scan -> per-partition map.
+  *    Zero shuffles; scales linearly with executors. Parquet column
+  *    pruning applies (only doc_id + spans are read).
+  *  - Per-document failures become `status='error'` rows instead of
+  *    killing the job (reference soft-fail: services/pdf_converter.py:
+  *    279-285, safe_table_processor.py:24-30) — at 10^12 docs one corrupt
+  *    row must never fail a stage.
+  *  - Mega documents (skew tail) go through `extractSalted`: spans are
+  *    exploded into bounded chunks, salted across the cluster, partially
+  *    extracted, then merged order-aware (Extract.mergeEvidence). AQE
+  *    only fixes join/agg skew, not per-row compute skew, so this stays
+  *    explicit (SURVEY §4).
+  *  - Metrics via LongAccumulators (north rule), lineage as a projection
+  *    of the written output — one pass, no recompute.
+  */
+object Pipeline {
+
+  case class ExtractedDoc(
+      contract: ContractRow,
+      status: String,
+      error: String,
+      partition_id: Int,
+      n_spans: Int,
+      op_hash: String)
+
+  case class Metrics(docsOk: LongAccumulator, docsErr: LongAccumulator,
+                     spansSeen: LongAccumulator)
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.docs_ok"),
+    spark.sparkContext.longAccumulator("graft.docs_err"),
+    spark.sparkContext.longAccumulator("graft.spans_seen"))
+
+  /** Direct path: one narrow mapPartitions, soft-fail per doc. */
+  def extract(docs: Dataset[Doc], metrics: Option[Metrics] = None): Dataset[ExtractedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map { doc =>
+        try {
+          val row = Extract.extractDoc(doc)
+          metrics.foreach { m => m.docsOk.add(1); m.spansSeen.add(doc.spans.size) }
+          ExtractedDoc(row, "ok", "", pid, doc.spans.size,
+            Rules.opHash(doc.doc_id, "extract", doc.doc_id, row.contract_number))
+        } catch {
+          case e: Exception =>
+            metrics.foreach(_.docsErr.add(1))
+            val nSpans = if (doc.spans == null) 0 else doc.spans.size
+            ExtractedDoc(emptyRow(doc.doc_id), "error",
+              String.valueOf(e.getMessage), pid, nSpans,
+              Rules.opHash(doc.doc_id, "error", doc.doc_id, ""))
+        }
+      }
+    }
+  }
+
+  private def emptyRow(docId: String): ContractRow =
+    ContractRow(docId, null, "N/A", "USD", None, null, null, "N/A", "N/A",
+      "MSA", Seq.empty, Seq.empty, 0, Seq.empty, 0, 0.0)
+
+  /** Salted skew path. Docs with more than `chunkSize*2` spans are split
+    * into `chunkSize`-span chunks, redistributed by (doc_id, chunk_idx)
+    * hash — so one mega doc fans out across the cluster — partially
+    * extracted, and merged back order-aware. Small docs take the direct
+    * path; the union preserves exact per-doc semantics (property-tested
+    * against the direct path). */
+  def extractSalted(docs: Dataset[Doc], chunkSize: Int = 256): Dataset[ExtractedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.map(d => (d, d.spans.size))
+    val small = sized.filter(_._2 <= chunkSize * 2).map(_._1)
+    val big = sized.filter(_._2 > chunkSize * 2).map(_._1)
+
+    val chunks: Dataset[(String, Int, Seq[Span])] = big.flatMap { d =>
+      d.spans.sortBy(_.offset).grouped(chunkSize).zipWithIndex
+        .map { case (c, i) => (d.doc_id, i, c) }
+    }
+    // salt: hash-partition on (doc_id, chunk_idx) so chunks of one mega
+    // doc land on different executors
+    val evidences = chunks
+      .repartition(col("_1"), col("_2"))
+      .map { case (id, idx, spans) =>
+        (id, Extract.chunkEvidence(idx, Extract.stripBoilerplate(spans)))
+      }
+    val merged: Dataset[ExtractedDoc] = evidences
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val evs = it.map(_._2).toSeq
+        val row = Extract.mergeEvidence(id, evs)
+        ExtractedDoc(row, "ok", "", TaskContext.getPartitionId(),
+          evs.map(_.sectionEvents.size).sum,
+          Rules.opHash(id, "extract_salted", id, row.contract_number))
+      }
+    extract(small).unionByName(merged)
+  }
+
+  /** Lineage table (SNK7 / north rule) as a PROJECTION of extraction
+    * output — per (doc, stage) record with partition id and op hash. */
+  def lineage(extracted: Dataset[ExtractedDoc], snapshotId: String): Dataset[LineageRec] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.map(e => LineageRec(e.contract.doc_id, e.partition_id,
+      "extract", e.status, e.op_hash, snapshotId, 0L))
+  }
+
+  /** Run + persist: contracts parquet, lineage parquet, manifest JSON —
+    * the Iceberg-snapshot-shaped checkpoint emulation (SURVEY §7.4.4:
+    * no Iceberg jar in the sandbox; the manifest records snapshot id,
+    * input, and counts so a real Iceberg impl can slot in). */
+  def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
+          snapshotId: String): (Long, Long) = {
+    import spark.implicits._
+    val m = newMetrics(spark)
+    val extracted = extract(docs, Some(m))
+    extracted.write.mode("overwrite").parquet(s"$outDir/contracts")
+    // lineage from the WRITTEN output (columnar re-read, no recompute)
+    val written = spark.read.parquet(s"$outDir/contracts").as[ExtractedDoc]
+    lineage(written, snapshotId).write.mode("overwrite").parquet(s"$outDir/lineage")
+    val manifest =
+      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_manifest_$snapshotId.json"), manifest)
+    (m.docsOk.value, m.docsErr.value)
+  }
+
+  /** Resume (S3/S4): anti-join pending docs against the lineage ledger —
+    * only docs without an 'ok' extract record are reprocessed. Ledger side
+    * is aggregated to doc_id before the join; Catalyst broadcast-joins it
+    * when small, shuffle-joins when not. */
+  def resume(docs: Dataset[Doc], ledger: DataFrame): Dataset[Doc] = {
+    val done = ledger.filter(col("status") === "ok" && col("stage") === "extract")
+      .select(col("doc_id")).distinct()
+    docs.join(done, docs("doc_id") === done("doc_id"), "left_anti")
+      .as[Doc](docs.encoder)
+  }
+
+  /** S1 — retry-queue semantics as a batch filter: attempts < maxRetries
+    * and retry_after <= now -> retry_ready; terminal skip otherwise
+    * (services/file_handler.py:85-114,504-561). */
+  def retryReady(state: DataFrame, batchTs: Long, maxRetries: Int = 3): DataFrame =
+    state.filter(col("status") === "failed" &&
+      col("attempts") < maxRetries && col("retry_after") <= batchTs)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.gen.Corpus
+import graft.pipeline.Pipeline
+import graft.model.Doc
+
+/** Distributed-semantics tests over the synthesized corpus: partitioning
+  * invariance, salted-vs-direct equality, resume, lineage — the properties
+  * the reference gets for free single-threaded and we must prove under
+  * shuffles (SURVEY §5 "our mirror"). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val docs = Corpus.corpus(spark, sf).cache()
+
+  test("corpus is deterministic and bit-reproducible") {
+    import spark.implicits._
+    val a = docs.collect().sortBy(_.doc_id)
+    val b = Corpus.corpus(spark, sf).repartition(7).collect().sortBy(_.doc_id)
+    assert(a.length == 500)
+    assert(a.toSeq == b.toSeq)
+    // skew tail present
+    val sizes = a.map(_.spans.size)
+    assert(sizes.max > 10 * sizes.min)
+  }
+
+  test("direct extraction: 500/500 ok, no errors, plausible fields") {
+    import spark.implicits._
+    val m = Pipeline.newMetrics(spark)
+    val out = Pipeline.extract(docs, Some(m)).cache()
+    assert(out.count() == 500)
+    assert(out.filter($"status" === "error").count() == 0)
+    assert(m.docsOk.value == 500 && m.docsErr.value == 0)
+    val rows = out.select("contract.*").cache()
+    // every doc has a title (synthesizer always renders a heading)
+    assert(rows.filter($"title".isNull).count() == 0)
+    // contract types follow the synthesized phrases
+    val types = rows.groupBy("contract_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet.subsetOf(Set("MSA", "LSA", "SOW", "PWO", "CR", "CNF")))
+    // most docs carry 2 dates -> effective < expiration (validation rule)
+    val dated = rows.filter($"effective_date".isNotNull && $"expiration_date".isNotNull)
+    assert(dated.filter($"effective_date" >= $"expiration_date").count() == 0)
+  }
+
+  test("extraction is invariant under repartitioning (span-order north rule)") {
+    import spark.implicits._
+    val a = Pipeline.extract(docs).select("contract.*")
+      .collect().map(_.toString).sorted
+    val b = Pipeline.extract(docs.repartition(13)).select("contract.*")
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("salted mega-doc path == direct path, exactly") {
+    import spark.implicits._
+    val direct = Pipeline.extract(docs).select("contract.*")
+      .collect().map(_.toString).sorted
+    val salted = Pipeline.extractSalted(docs, chunkSize = 64).select("contract.*")
+      .collect().map(_.toString).sorted
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("run + lineage + resume: ledger anti-join skips done docs") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-run").toString
+    val (ok, err) = Pipeline.run(spark, docs, out, "snap-001")
+    assert(ok == 500 && err == 0)
+    val ledger = spark.read.parquet(s"$out/lineage")
+    assert(ledger.count() == 500)
+    assert(ledger.select("partition_id").distinct().count() >= 1)
+    // resume: nothing left
+    assert(Pipeline.resume(docs, ledger).count() == 0)
+    // resume with a truncated ledger: exactly the missing docs remain
+    val partial = ledger.filter(xxhash64(col("doc_id")) % 5 =!= 0)
+    val remaining = Pipeline.resume(docs, partial)
+    assert(remaining.count() == 500 - partial.count())
+    // manifest written
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_manifest_snap-001.json")))
+  }
+
+  test("retry queue filter (S1)") {
+    import spark.implicits._
+    val state = Seq(
+      ("d1", "failed", 1, 100L), ("d2", "failed", 3, 100L),
+      ("d3", "failed", 1, 900L), ("d4", "ok", 0, 0L))
+      .toDF("doc_id", "status", "attempts", "retry_after")
+    val ready = Pipeline.retryReady(state, batchTs = 500L)
+    assert(ready.select("doc_id").collect().map(_.getString(0)).toSeq == Seq("d1"))
+  }
+
+  test("soft-fail: a poisoned doc becomes an error row, not a job failure") {
+    import spark.implicits._
+    val poisoned: org.apache.spark.sql.Dataset[Doc] =
+      Seq(Doc("bad-1", null), Doc("ok-1", Seq(graft.model.Span("heading", "T", "", 0)))).toDS()
+    val m = Pipeline.newMetrics(spark)
+    val out = Pipeline.extract(poisoned, Some(m)).collect()
+    assert(out.length == 2)
+    assert(out.count(_.status == "error") == 1)
+    assert(m.docsErr.value == 1)
+  }
+}
