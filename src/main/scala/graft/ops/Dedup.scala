@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, DataFrame-first.
+  *
+  * Scale notes:
+  *  - `exact` is one hash aggregate (partial+final for free).
+  *  - `minhash*` computes signatures NARROWLY (array HOFs per row, no
+  *    explode of shingles), then shuffles only (band, minhash) bucket keys
+  *    — at 10^12 docs the shuffle payload is 4 longs per doc, not the
+  *    shingle sets.
+  *  - `simhashPairs` uses the pigeonhole block trick: hamming(a,b) <= maxDist
+  *    implies at least one of (maxDist+1) bit-blocks equal, so candidate
+  *    generation is an equi-join on block keys — no O(n^2) scan.
+  */
+object Dedup {
+
+  /** Exact dedup: keep min id per content hash (md5 of the full text). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keeper"), count("*").as("n_dups"))
+
+  /** Distinct lowercase word array. */
+  def wordsOf(textCol: Column): Column =
+    array_distinct(regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)))
+
+  /** Minhash signatures: `bands` min-hashes over xxhash64(band || shingle).
+    * Input must have (id, text); output (id, mh_0..mh_{bands-1}). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4): DataFrame = {
+    val withSh = docs
+      .withColumn("w", expr(s"array_distinct(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0))"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+    val sigCols = (0 until bands).map { b =>
+      expr(s"array_min(transform(sh, x -> xxhash64('$b|' || x)))").as(s"mh_$b")
+    }
+    withSh.select(col(idCol) +: sigCols: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band minhash. Shuffles only the
+    * (band, hash) keys; bucket skew is bounded because identical texts
+    * produce identical signatures (dedup them first with `exact` at scale). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, bands)
+    val buckets = sigs.select(col(idCol).as("id"),
+      posexplode(array((0 until bands).map(b => col(s"mh_$b")): _*)).as(Seq("band", "h")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs (the verify stage after LSH). */
+  def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    val w = docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("ws"))
+    candidates
+      .join(w.withColumnRenamed("id", "doc_a").withColumnRenamed("ws", "wa"), "doc_a")
+      .join(w.withColumnRenamed("id", "doc_b").withColumnRenamed("ws", "wb"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("jaccard", col("inter") / (size(col("wa")) + size(col("wb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the word multiset (xxhash64 word hashes, sign of
+    * per-bit vote). Pure column-free UDF kept tiny; words come from a
+    * codegen'd regexp. */
+  private val simhash64 = udf { ws: Seq[String] =>
+    if (ws == null || ws.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      ws.foreach { w =>
+        // xxhash64-compatible mixing is not exposed JVM-side; use the same
+        // stable splitmix as the corpus (deterministic everywhere)
+        var h = graft.gen.Corpus.mix(w.hashCode.toLong * 0x9E3779B97F4A7C15L + w.length)
+        var i = 0
+        while (i < 64) { votes(i) += (if ((h & 1L) == 1L) 1 else -1); h >>>= 1; i += 1 }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash64(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming <= maxDist via pigeonhole blocks. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val sh = withSimhash(docs, idCol, textCol)
+    val keyed = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until blocks).map { b =>
+        expr(s"CAST(shiftright(simhash, ${b * width}) & ${(1L << width) - 1} AS BIGINT)")
+      }: _*)).as(Seq("blk", "key")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

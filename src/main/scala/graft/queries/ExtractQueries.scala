@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.queries.Dialect.{Ctext, Fname}
+
+/** Scalar-extraction operator queries (SURVEY §2.2), one per operator,
+  * written as dialect-shared SQL bodies over the `documents` table with the
+  * planted contract-text column. Each entry yields (sparkSql, duckSql);
+  * the Spark side runs via spark.sql over a temp view — same Catalyst plan
+  * a DataFrame chain would produce (verified with explain: single project
+  * over the parquet scan, whole-stage codegen).
+  *
+  * Every query ORDERs BY its key and rounds doubles so the driver's
+  * hash-compare is deterministic across engines.
+  */
+object ExtractQueries {
+
+  /** Standard FROM clause exposing the planted columns. */
+  private def src(extra: String = ""): String =
+    s"FROM (SELECT doc_id, $Ctext AS ctext, $Fname AS fname, text, lang, source, n_chars $extra FROM documents) t"
+
+  private def q(body: D => String): (String, String) =
+    (body(Dialect.Spark), body(Dialect.Duck))
+
+  // Reference patterns (services/contract_parser.py:27-37) — common subset
+  private val PatTitle = "'(?m)^#{1,2}\\s+(.+)$'"
+  private val PatNum = "'(?i)(?:contract\\s+number|número\\s+do\\s+contrato|ref|reference)[\\s:]*([A-Z0-9\\-_/]+)'"
+  private val PatCur = "'(?i)(R\\$|US\\$|USD|BRL|EUR|€|£)'"
+  private val PatAmt = "'(?i)(?:valor|value|amount|total)[\\s:]*([R$US$USD€£]?\\s*[\\d,]+\\.?\\d*)'"
+  private val PatEmail = "'\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b'"
+  private val PatCnpj = "'(?:\\d{2}\\.\\d{3}\\.\\d{3}/\\d{4}-\\d{2}|\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2})'"
+  private val PatDmy = "'(\\d{1,2})/(\\d{1,2})/(\\d{4})'"
+  private val PatYmd = "'(\\d{4})-(\\d{1,2})-(\\d{1,2})'"
+  private val PatYear = "'\\b(19|20)\\d{2}\\b'"
+  // P6 party patterns: Spark keeps the reference lookahead; the oracle uses
+  // the consuming rewrite (same group-1 on first match; RE2 has no lookahead)
+  private def patClient(d: D): String = {
+    val tail = if (d.isSpark) "(?=\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)"
+               else "(?:\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)"
+    s"'(?i)(?:cliente|client|contratante|buyer)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)$tail'"
+  }
+  private def patVendor(d: D): String = {
+    val tail = if (d.isSpark) "(?=\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)"
+               else "(?:\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)"
+    s"'(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)$tail'"
+  }
+
+  /** Shared amount-parse chain (P4): strip class, locale branch, try_cast. */
+  private def amountParse(d: D, raw: String): String = {
+    val strip = d.rr(raw, "'[R$US$USD€£\\s]'", "''")
+    s"""CASE WHEN $strip LIKE '%,%' AND $strip LIKE '%.%'
+       | THEN try_cast(replace(replace($strip, '.', ''), ',', '.') AS DOUBLE)
+       | WHEN $strip LIKE '%,%' THEN try_cast(replace($strip, ',', '.') AS DOUBLE)
+       | ELSE try_cast($strip AS DOUBLE) END""".stripMargin.replace("\n", " ")
+  }
+
+  val all: Map[String, (String, String)] = Map(
+
+    // P1 — first H1/H2 title
+    "p01_title" -> q { d =>
+      s"SELECT doc_id, regexp_extract(ctext, $PatTitle, 1) AS title ${src()} ORDER BY doc_id"
+    },
+
+    // P2 — contract number (plain pattern; '' when missing, like reference None->'N/A' downstream)
+    "p02_number" -> q { d =>
+      s"""SELECT doc_id, CASE WHEN regexp_extract(ctext, $PatNum, 1) = '' THEN 'N/A'
+         | ELSE regexp_extract(ctext, $PatNum, 1) END AS contract_number ${src()} ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // P3 — first currency token
+    "p03_currency" -> q { d =>
+      s"SELECT doc_id, regexp_extract(ctext, $PatCur, 1) AS currency ${src()} ORDER BY doc_id"
+    },
+
+    // P4 — labeled amount extract + locale parse (incl. the US$ quirk)
+    "p04_amount" -> q { d =>
+      val raw = s"regexp_extract(ctext, $PatAmt, 1)"
+      s"SELECT doc_id, round(${amountParse(d, raw)}, 4) AS total_value ${src()} ORDER BY doc_id"
+    },
+
+    // P5 — date extraction: valid-only, per-pattern text order
+    "p05_dates" -> q { d =>
+      val dmyAll = s"regexp_extract_all(ctext, $PatDmy, 0)"
+      val valid = d.lfilter(dmyAll, s"x -> ${d.dok("x", "d/M/yyyy", "%d/%m/%Y")}")
+      val isoArr = d.lmap(valid, s"x -> ${d.d2iso("x", "d/M/yyyy", "%d/%m/%Y")}")
+      val ymdFirst = s"regexp_extract(ctext, $PatYmd, 0)"
+      s"""SELECT doc_id, ${d.idx(isoArr, 0)} AS effective_date,
+         | ${d.idx(isoArr, 1)} AS expiration_date,
+         | ${d.size(valid)} AS n_valid_dmy,
+         | ${d.d2iso(ymdFirst, "y-M-d", "%Y-%m-%d")} AS first_iso_date
+         | ${src()} ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // P6 — parties (lookahead on Spark, consuming rewrite on DuckDB)
+    "p06_parties" -> q { d =>
+      s"""SELECT doc_id,
+         | trim(regexp_extract(ctext, ${patClient(d)}, 1)) AS client_name,
+         | trim(regexp_extract(ctext, ${patVendor(d)}, 1)) AS vendor_name
+         | ${src()} ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // P7 — contract type: priority keyword chain incl. bare-substring quirks
+    "p07_type" -> q { d =>
+      s"""SELECT doc_id, CASE
+         | WHEN lower(ctext) LIKE '%master service agreement%' OR lower(ctext) LIKE '%msa%' OR lower(ctext) LIKE '%acordo quadro%' THEN 'MSA'
+         | WHEN lower(ctext) LIKE '%local service agreement%' OR lower(ctext) LIKE '%lsa%' OR lower(ctext) LIKE '%acordo local%' THEN 'LSA'
+         | WHEN lower(ctext) LIKE '%statement of work%' OR lower(ctext) LIKE '%sow%' OR lower(ctext) LIKE '%escopo de trabalho%' THEN 'SOW'
+         | WHEN lower(ctext) LIKE '%project work order%' OR lower(ctext) LIKE '%pwo%' OR lower(ctext) LIKE '%ordem de serviço%' THEN 'PWO'
+         | WHEN lower(ctext) LIKE '%change request%' OR lower(ctext) LIKE '%cr%' OR lower(ctext) LIKE '%solicitação de mudança%' THEN 'CR'
+         | WHEN lower(ctext) LIKE '%change notification form%' OR lower(ctext) LIKE '%cnf%' OR lower(ctext) LIKE '%formulário de notificação%' THEN 'CNF'
+         | ELSE 'NONE' END AS contract_type ${src()} ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // P8 — emails: findall, dedup, sorted, joined '; ' (SNK4 list rendering)
+    "p08_emails" -> q { d =>
+      val arr = s"regexp_extract_all(ctext, $PatEmail, 0)"
+      val dedup = if (d.isSpark) s"array_join(array_sort(array_distinct($arr)), '; ')"
+                  else s"coalesce(array_to_string(list_sort(list_distinct($arr)), '; '), '')"
+      s"SELECT doc_id, $dedup AS emails ${src()} ORDER BY doc_id"
+    },
+
+    // P9 — CNPJ/CPF ids, same rendering
+    "p09_cnpj" -> q { d =>
+      val arr = s"regexp_extract_all(ctext, $PatCnpj, 0)"
+      val dedup = if (d.isSpark) s"array_join(array_sort(array_distinct($arr)), '; ')"
+                  else s"coalesce(array_to_string(list_sort(list_distinct($arr)), '; '), '')"
+      s"SELECT doc_id, $dedup AS cnpj_cpf ${src()} ORDER BY doc_id"
+    },
+
+    // P10 — markdown table lines + header detection
+    "p10_tables" -> q { d =>
+      val lines = s"regexp_extract_all(ctext, '(?m)^\\|.*\\|$$', 0)"
+      val hdr = d.size(d.lfilter(lines, "x -> x LIKE '%---%'"))
+      s"SELECT doc_id, ${d.size(lines)} AS table_lines, CASE WHEN $hdr > 0 THEN true ELSE false END AS has_headers ${src()} ORDER BY doc_id"
+    },
+
+    // P11 — key-clause flags (three of the 23 headers; substring semantics)
+    "p11_clauses" -> q { d =>
+      s"""SELECT doc_id,
+         | CASE WHEN lower(ctext) LIKE '%vigência%' THEN 1 ELSE 0 END AS has_vigencia,
+         | CASE WHEN lower(ctext) LIKE '%pagamento%' THEN 1 ELSE 0 END AS has_pagamento,
+         | CASE WHEN lower(ctext) LIKE '%confidencialidade%' THEN 1 ELSE 0 END AS has_confidencialidade
+         | ${src()} ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // P12 — ASCII-safe predicate over planted filenames
+    "p12_ascii" -> q { d =>
+      val re = "'^[\\x00-\\x7f]*$'"
+      val pred = if (d.isSpark) s"fname RLIKE $re" else s"regexp_matches(fname, $re)"
+      s"SELECT doc_id, fname, CASE WHEN $pred THEN 1 ELSE 0 END AS is_safe ${src()} ORDER BY doc_id"
+    },
+
+    // P13/P14 — deterministic CJK term-map sanitize (columnar variant of
+    // Rules.sanitizeFilename: replace-chain over the base name + cleanup;
+    // the quote-removal step is a no-op on filename-legal input). Reference
+    // order: '御見積書' before '見積書' before '見積'; '契約' before '契約書'
+    // (so '契約書' is consumed as '契約'+'書' -> 'Contract書' never arises on
+    // planted data; chain kept in Python dict order).
+    "p13_sanitize" -> q { d =>
+      val base = "substr(fname, 1, length(fname) - 4)"
+      val mapped = Seq(
+        "【" -> "", "】" -> "", "御見積書" -> "Quotation", "見積書" -> "Quotation",
+        "見積" -> "Estimate", "請求書" -> "Invoice", "契約" -> "Contract",
+        "契約書" -> "Contract", "システム" -> "System", "運用" -> "Operations",
+        "サポート" -> "Support", "合同" -> "Contract", "报价" -> "Quotation",
+        "系统" -> "System", "支持" -> "Support")
+        .foldLeft(base) { case (e, (k, v)) => s"replace($e, '$k', '$v')" }
+      val cleaned = d.rr(d.rr(s"($mapped)", "'[^\\w\\s\\-]'", "'_'"), "'\\s+'", "'_'")
+      s"SELECT doc_id, $cleaned || '.pdf' AS sanitized ${src()} ORDER BY doc_id"
+    },
+
+    // P16 — sentence segmentation + heuristic class (explode/unnest)
+    "p16_segments" -> q { d =>
+      val cls = """CASE
+        | WHEN lower(seg) LIKE '%$%' OR lower(seg) LIKE '%€%' OR lower(seg) LIKE '%£%' OR lower(seg) LIKE '%amount%' OR lower(seg) LIKE '%value%' OR lower(seg) LIKE '%cost%' THEN 'amount'
+        | WHEN lower(seg) LIKE '%date%' OR lower(seg) LIKE '%effective%' OR lower(seg) LIKE '%expiration%' OR lower(seg) LIKE '%valid%' THEN 'date'
+        | WHEN lower(seg) LIKE '%contract%' OR lower(seg) LIKE '%agreement%' OR lower(seg) LIKE '%sow%' OR lower(seg) LIKE '%msa%' THEN 'identifier'
+        | ELSE 'none' END""".stripMargin.replace("\n", " ")
+      if (d.isSpark)
+        s"""SELECT doc_id, seg, $cls AS seg_class FROM (
+           | SELECT doc_id, trim(s) AS seg FROM (SELECT doc_id, $Ctext AS ctext, text FROM documents) t
+           | LATERAL VIEW explode(split(ctext, '\\.')) sv AS s
+           |) x WHERE length(seg) >= 10 AND $cls <> 'none' ORDER BY doc_id, seg"""
+          .stripMargin.replace("\n", " ")
+      else
+        s"""SELECT doc_id, seg, $cls AS seg_class FROM (
+           | SELECT doc_id, trim(unnest(string_split_regex(ctext, '\\.'))) AS seg
+           | FROM (SELECT doc_id, $Ctext AS ctext, text FROM documents) t
+           |) x WHERE length(seg) >= 10 AND $cls <> 'none' ORDER BY doc_id, seg"""
+          .stripMargin.replace("\n", " ")
+    },
+
+    // P17 — entity normalization incl. the digit-stripping AMOUNT mangle
+    "p17_normalize" -> q { d =>
+      val etype = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'AMOUNT' WHEN 1 THEN 'START_DATE' ELSE 'SUPPLIER' END"
+      val etext = "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'R$ ' || CAST(doc_id % 900 + 100 AS STRING) || ',00' WHEN 1 THEN lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '/' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0') || '/' || CAST(2019 + doc_id % 6 AS STRING) ELSE '  Acme Corp ' || CAST(doc_id % 7 AS STRING) || '  ' END"
+      val low = "lower(trim(etext))"
+      val amtKeep = d.rr(low, "'[^Vdt .,]+'", "''")
+      val amtNorm = s"replace(replace($amtKeep, '.', ''), ',', '.')"
+      val amtOut = s"CASE WHEN try_cast($amtNorm AS DOUBLE) IS NOT NULL THEN CAST(try_cast($amtNorm AS DOUBLE) AS STRING) ELSE $amtNorm END"
+      val dateOut = s"coalesce(${d.d2iso(low, "M/d/yyyy", "%m/%d/%Y")}, $low)"
+      s"""SELECT doc_id, etype, etext,
+         | CASE WHEN etype = 'AMOUNT' THEN $amtOut
+         |      WHEN etype = 'START_DATE' THEN $dateOut
+         |      ELSE $low END AS normalized
+         | FROM (SELECT doc_id, $etype AS etype, $etext AS etext FROM documents) t ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // P18 — year extraction with the 2999 placeholder rule
+    "p18_year" -> q { d =>
+      val y = s"regexp_extract(ctext, $PatYear, 0)"
+      s"SELECT doc_id, CASE WHEN $y = '' THEN '2999' ELSE $y END AS start_year ${src()} ORDER BY doc_id"
+    },
+
+    // P22 — table-cell text cleanup chain
+    "p22_cellclean" -> q { d =>
+      val cell = "('Intro' || CASE WHEN doc_id % 3 = 0 THEN ' . . . . ' ELSE '.....' END || CAST(doc_id % 100 AS STRING) || chr(160) || 'end')"
+      val c1 = d.rr(cell, "'(\\s\\.){2,}'", "''")
+      val c2 = d.rr(c1, "'\\.{2,}'", "''")
+      val c3 = s"replace($c2, chr(160), ' ')"
+      s"SELECT doc_id, $c3 AS cleaned FROM documents ORDER BY doc_id"
+    },
+
+    // P25 — lineage op hash
+    "p25_ophash" -> q { d =>
+      s"""SELECT doc_id, md5('2025-08-19T16:53:51' || 'rename' || '/in/' || CAST(doc_id AS STRING) || '.pdf' || '/out/' || CAST(doc_id AS STRING) || '.pdf') AS op_hash
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // P26 — boilerplate text/link densities over planted html
+    "p26_boiler" -> q { d =>
+      val html = """(CASE CAST(doc_id % 3 AS INT)
+        | WHEN 0 THEN '<div><a href="/a">Home</a> <a href="/b">About Pages</a></div>'
+        | WHEN 1 THEN '<p>' || substr(text, 1, 80) || '</p>'
+        | ELSE '<div>' || substr(text, 1, 40) || ' <a href="/x">more</a></div>' END)""".stripMargin.replace("\n", " ")
+      val stripped = d.rr("html", "'<[^>]+>'", "''")
+      val linkTexts = s"regexp_extract_all(html, '(?i)<a[^>]*>(.*?)</a>', 1)"
+      val linkChars = d.lsum(d.lmap(linkTexts, "x -> length(x)"))
+      s"""SELECT doc_id,
+         | round(length($stripped) * 1e0 / length(html), 4) AS text_density,
+         | round($linkChars * 1e0 / nullif(length($stripped), 0), 4) AS link_density,
+         | CASE WHEN length($stripped) * 1e0 / length(html) >= 0.35
+         |       AND $linkChars * 1e0 / nullif(length($stripped), 0) <= 0.33
+         |      THEN 1 ELSE 0 END AS is_content
+         | FROM (SELECT doc_id, $html AS html FROM (SELECT doc_id, text FROM documents) s) t ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    // P19 — supplier normalize over the supplier dimension
+    "p19_supplier" -> q { d =>
+      val norm = d.rr("replace(replace(s_name, ' ', '_'), '-', '_')", "'[^A-Za-z0-9_]'", "''")
+      s"SELECT s_suppkey, substr($norm, 1, 50) AS supplier_dir FROM supplier ORDER BY s_suppkey"
+    },
+
+    // P20 — canonical filename compose
+    "p20_filename" -> q { d =>
+      val sup = d.rr("replace(replace(s_name, ' ', '_'), '-', '_')", "'[^A-Za-z0-9_]'", "''")
+      val fn = s"substr($sup, 1, 50) || '_MSA_' || CAST(2020 + s_suppkey % 6 AS STRING) || '_' || CAST(2022 + s_suppkey % 6 AS STRING) || '_K' || CAST(s_suppkey AS STRING) || '.pdf'"
+      val clean = d.rr(s"($fn)", "'[^A-Za-z0-9._\\-]'", "''")
+      s"SELECT s_suppkey, $clean AS filename FROM supplier ORDER BY s_suppkey"
+    },
+
+    // P21 — rename-vs-translate decision over planted filenames
+    "p21_optype" -> q { d =>
+      val re = "'^[\\x00-\\x7f]*$'"
+      val pred = if (d.isSpark) s"fname RLIKE $re" else s"regexp_matches(fname, $re)"
+      s"SELECT doc_id, CASE WHEN NOT ($pred) THEN 'translate' ELSE 'rename' END AS op_type ${src()} ORDER BY doc_id"
+    }
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+/** Join / aggregation / window / sort / incremental operator queries
+  * (SURVEY §2.3-2.7, §2.9) as dialect-shared SQL bodies. Spark-side plans
+  * verified with explain(): hash aggregates with partial (map-side)
+  * aggregation, broadcast hash joins for the dimension joins, single
+  * shuffle per window. */
+object RelationalQueries {
+
+  private def q(body: D => String): (String, String) =
+    (body(Dialect.Spark), body(Dialect.Duck))
+
+  val all: Map[String, (String, String)] = Map(
+
+    // J1 — contract hierarchy self equi-join (parent linkage + membership)
+    "j01_hierarchy" -> q { d =>
+      """WITH contracts AS (
+        |  SELECT doc_id, 'C' || CAST(doc_id AS STRING) AS contract_number,
+        |         CASE WHEN doc_id % 10 = 0 THEN NULL
+        |              ELSE 'C' || CAST(doc_id - doc_id % 10 AS STRING) END AS parent_number
+        |  FROM documents)
+        |SELECT c.doc_id, c.contract_number, c.parent_number,
+        |       CASE WHEN p.contract_number IS NOT NULL THEN 1 ELSE 0 END AS parent_found
+        |FROM contracts c LEFT JOIN contracts p ON c.parent_number = p.contract_number
+        |ORDER BY c.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // J2 — spatial theta-join + per-line argmax (bbox intersection,
+    // table_processor_fixed.py:237-294, reduced to 1-D intervals)
+    "j02_spatial_argmax" -> q { d =>
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_partkey % 80 AS INT) AS x0,
+        |         CAST(l_partkey % 80 + l_suppkey % 20 + 5 AS INT) AS x1
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT DISTINCT l_orderkey AS c_orderkey, j AS cell_id,
+        |         j * 25 AS cx0, j * 25 + 25 AS cx1
+        |  FROM lineitem, (VALUES (0), (1), (2), (3)) AS cj(j)),
+        |scored AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, c.cell_id,
+        |         greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) AS inter,
+        |         row_number() OVER (PARTITION BY l.l_orderkey, l.l_linenumber
+        |                            ORDER BY greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) DESC, c.cell_id) AS rn
+        |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey)
+        |SELECT l_orderkey, l_linenumber, cell_id, inter
+        |FROM scored WHERE rn = 1 AND inter > 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
+    },
+
+    // J4 + A2 — dimension broadcast joins: customer -> nation -> region rollup
+    "j04_region_rollup" -> q { d =>
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin.replace("\n", " ")
+    },
+
+    // J5 — broadcast nested-loop pattern match: best pattern per doc by
+    // word-overlap score (entity_extractor.py:197-226 re-expressed)
+    "j05_pattern_match" -> q { d =>
+      val words = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+      val pwords = "regexp_extract_all(p.pat, '[a-z0-9]+', 0)"
+      val inter = if (d.isSpark) s"array_intersect($words, $pwords)"
+                  else s"list_intersect($words, $pwords)"
+      s"""WITH pats AS (SELECT pat FROM (VALUES ('information technology data management'),
+         | ('cloud services agreement'), ('supply chain consulting services')) AS p(pat))
+         |SELECT doc_id, pat AS best_pattern, score FROM (
+         |  SELECT doc_id, p.pat, ${d.size(inter)} AS score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY ${d.size(inter)} DESC, p.pat) AS rn
+         |  FROM documents CROSS JOIN pats p) x
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // A2/A4 — TPC-H Q1-style pricing summary (flagship hash agg)
+    "a01_pricing" -> q { d =>
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+    },
+
+    // A2 — count-by-type summaries
+    "a02_counts" -> q { d =>
+      "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source ORDER BY lang, source"
+    },
+
+    // A3 — mean metrics per group
+    "a03_doc_stats" -> q { d =>
+      """SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+    },
+
+    // A4 — portfolio sum
+    "a04_portfolio" -> q { d =>
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " ")
+    },
+
+    // A5 — success/failure tallies
+    "a05_event_tallies" -> q { d =>
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+    },
+
+    // O1 — top-k by aggregate (deterministic tiebreak)
+    "o01_topk_users" -> q { d =>
+      """SELECT user_id, round(sum(value), 4) AS total, count(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY round(sum(value), 4) DESC, user_id LIMIT 10""".stripMargin.replace("\n", " ")
+    },
+
+    // W2 — keep-highest per key (A1 dedup shape)
+    "w02_keep_highest" -> q { d =>
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) x WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin.replace("\n", " ")
+    },
+
+    // W5 — explicit sequence reassembly after shuffle (span-order invariant)
+    "w05_event_order" -> q { d =>
+      if (d.isSpark)
+        """SELECT user_id, concat_ws('>', transform(
+          |  array_sort(collect_list(struct(ts, event_id, event_type))),
+          |  x -> x.event_type)) AS seq
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+      else
+        """SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+    },
+
+    // Streaming-shaped hourly windowed aggregation (batch twin of the
+    // Structured Streaming job; see StreamingSpec)
+    "w06_hourly" -> q { d =>
+      s"""SELECT ${d.ts2s("date_trunc('hour', ts)")} AS hour_ts, event_type,
+         |  count(*) AS n, round(sum(value), 4) AS sum_value
+         |FROM events GROUP BY ${d.ts2s("date_trunc('hour', ts)")}, event_type
+         |ORDER BY hour_ts, event_type""".stripMargin.replace("\n", " ")
+    },
+
+    // S1 — retry-queue batch filter
+    "s01_retry_ready" -> q { d =>
+      """SELECT event_id AS item_id, attempts FROM (
+        |  SELECT event_id,
+        |         CAST(floor(value * 10) AS INT) % 5 AS attempts,
+        |         CASE WHEN event_type IN ('click', 'view') THEN 'failed' ELSE 'ok' END AS status,
+        |         ts
+        |  FROM events) x
+        |WHERE status = 'failed' AND attempts < 3 AND ts <= TIMESTAMP '2024-06-01 00:00:00'
+        |ORDER BY event_id""".stripMargin.replace("\n", " ")
+    }
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+/** Training-data pipeline operators over `documents`/`embeddings`: exact +
+  * near dedup, minhash signatures, deterministic stratified sampling,
+  * language ID, quality scoring, token counting, fingerprinting, and
+  * brute-force cosine ANN. All hashes are md5-derived so Spark and DuckDB
+  * compute identical values (no engine-specific hash functions). */
+object TrainingQueries {
+
+  private def q(body: D => String): (String, String) =
+    (body(Dialect.Spark), body(Dialect.Duck))
+
+  private def words(col: String) = s"regexp_extract_all(lower($col), '[a-z0-9]+', 0)"
+
+  val all: Map[String, (String, String)] = Map(
+
+    // D1 — exact dedup: hash-groupBy, keep min doc_id per key
+    "d01_dedup_exact" -> q { d =>
+      """SELECT key, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM (SELECT md5(substr(text, 1, 24)) AS key, doc_id FROM documents) t
+        |GROUP BY key ORDER BY key""".stripMargin.replace("\n", " ")
+    },
+
+    // D2 — n-gram Jaccard near-dup within (lang, |n_chars| window) buckets.
+    // The bucket join bounds the pair count (the LSH prefilter at scale).
+    "d02_jaccard_pairs" -> q { d =>
+      val ldist = if (d.isSpark) "array_distinct" else "list_distinct"
+      val inter = if (d.isSpark) "size(array_intersect(a.ws, b.ws))" else "len(list_intersect(a.ws, b.ws))"
+      s"""WITH w AS (SELECT doc_id, lang, n_chars, $ldist(${words("text")}) AS ws FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round($inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0), 4) AS jaccard
+         |FROM w a JOIN w b
+         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND abs(a.n_chars - b.n_chars) <= 5
+         |WHERE $inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+
+    // D3 — minhash signatures: 4 bands, min over md5-hashed 3-word shingles
+    "d03_minhash_sig" -> q { d =>
+      val w = words("text")
+      val sh =
+        if (d.isSpark) s"transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        else "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+      def band(b: Int): String = {
+        val hashed = d.lmap("sh", s"x -> ${d.h60(s"'$b|' || x")}")
+        if (d.isSpark) s"array_min($hashed)" else s"list_min($hashed)"
+      }
+      s"""SELECT doc_id, ${band(0)} AS mh0, ${band(1)} AS mh1, ${band(2)} AS mh2, ${band(3)} AS mh3
+         |FROM (SELECT doc_id, $sh AS sh FROM (SELECT doc_id, $w AS w FROM documents) t WHERE ${d.size("w")} >= 3) s
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // D5 — deterministic stratified sampling (sampleBy with md5 in place of
+    // RNG so the oracle can reproduce it)
+    "d05_stratified_sample" -> q { d =>
+      val h = d.h32("CAST(doc_id AS STRING) || lang")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h % 100 < CASE WHEN lang = 'en' THEN 30 ELSE 60 END
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T1 — language ID: Han-script check + stopword-count argmax
+    "t01_langid" -> q { d =>
+      def sw(langRe: String) = d.size(s"regexp_extract_all(lower(text), '$langRe', 0)")
+      val zh = d.size(s"regexp_extract_all(text, '${d.hanClass}', 0)")
+      val en = sw("\\b(the|and|of|to|in|is|a)\\b")
+      val es = sw("\\b(el|la|de|que|y|los|en|un)\\b")
+      val de = sw("\\b(der|die|und|das|ist|ein|zu|den)\\b")
+      val fr = sw("\\b(le|la|les|des|et|est|une|dans)\\b")
+      s"""SELECT doc_id, lang, predicted,
+         |  CASE WHEN predicted = lang THEN 1 ELSE 0 END AS correct
+         |FROM (SELECT doc_id, lang,
+         |  CASE WHEN $zh > 0 THEN 'zh'
+         |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS predicted
+         |  FROM documents) t ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T2 — quality scoring: token/char ratios
+    "t02_quality" -> q { d =>
+      val nTok = d.size("regexp_extract_all(text, '\\S+', 0)")
+      val nPunct = d.size("regexp_extract_all(text, '[.,;:!?]', 0)")
+      val nStop = d.size("regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b', 0)")
+      val noWs = d.rr("text", "'\\s'", "''")
+      s"""SELECT doc_id,
+         |  $nTok AS n_tokens,
+         |  round(length($noWs) * 1e0 / nullif($nTok, 0), 4) AS mean_token_len,
+         |  round($nPunct * 1e0 / nullif(length(text), 0), 4) AS punct_ratio,
+         |  round($nStop * 1e0 / nullif($nTok, 0), 4) AS stopword_ratio,
+         |  CASE WHEN $nTok >= 10 AND $nPunct * 1e0 / nullif(length(text), 0) < 0.2 THEN 1 ELSE 0 END AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T3 — token counting: whitespace + BPE-ish segmentation
+    "t03_tokens" -> q { d =>
+      val ws = d.size("regexp_extract_all(text, '\\S+', 0)")
+      val bpe = d.size("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+      s"""SELECT doc_id, $ws AS ws_tokens, $bpe AS bpe_tokens, length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T4 — document fingerprint: md5 over normalized content
+    "t04_fingerprint" -> q { d =>
+      val norm = d.rr("lower(text)", "'[^a-z0-9]+'", "''")
+      s"SELECT doc_id, md5($norm) AS fingerprint FROM documents ORDER BY doc_id"
+    },
+
+    // V1 — brute-force cosine top-k against the vec_id=0 query embedding
+    "v01_ann_topk" -> q { d =>
+      val sim =
+        if (d.isSpark)
+          """(aggregate(zip_with(e.embedding, q.qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)
+            | / (sqrt(aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b))
+            |  * sqrt(aggregate(transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b))))"""
+            .stripMargin.replace("\n", " ")
+        else "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[])"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round($sim, 6) AS cos_sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY round($sim, 6) DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+    }
+  )
+}
