@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline operators on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS]. Prints ONE JSON line (driver contract).
+  * The flagship metric is end-to-end extraction docs/sec on the
+  * synthesized interleaved corpus (BASELINE.json north rule); per-query
+  * wall times for the other headline operators ride along. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,51 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/codegen warmup (tiny, not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Bench.runOnce(spark, sfDir, warm = true)
+
+    val (results, docsPerSec) = runOnce(spark, sfDir, warm = false)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus}""")
     spark.stop()
+  }
+
+  /** One pass over the headline operators; returns (name -> sec, docs/sec). */
+  def runOnce(spark: SparkSession, sfDir: String, warm: Boolean): (Seq[(String, Double)], Double) = {
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    val (tExtract, nDocs) = time {
+      pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir)).count()
+    }
+    out += ("extract_pipeline" -> tExtract)
+    val (tSalted, _) = time {
+      pipeline.Pipeline.extractSalted(gen.Corpus.corpus(spark, sfDir), 256).count()
+    }
+    out += ("extract_salted" -> tSalted)
+    for (q <- Seq("a01_pricing", "j02_spatial_argmax", "d03_minhash_sig",
+                  "t01_langid", "v01_ann_topk", "w06_hourly")) {
+      val (t, _) = time { SparkEntry.queries(q)(spark, sfDir).count() }
+      out += (q -> t)
+    }
+    val (tLsh, _) = time {
+      ops.Dedup.minhashCandidates(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text").count()
+    }
+    out += ("minhash_lsh_pairs" -> tLsh)
+    (out.toSeq, nDocs / tExtract)
   }
 }

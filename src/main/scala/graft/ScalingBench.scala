@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One scaling measurement per JVM (running local[8] and local[32]
+  * sequentially in one JVM contaminates the second measurement with GC
+  * debris and JIT state — measured 5x distortion). Orchestrated by
+  * tools/scaling.sh which runs this twice and writes BENCH/BASELINE.md.
+  *
+  * Usage: runMain graft.ScalingBench <cores> [sfDir] [replicate]
+  * Prints: {"cores":N,"wall_sec":S,"docs":D,"docs_per_sec":T}
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val replicate = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup pass (JIT + codegen), then timed pass
+    pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
+    val t0 = System.nanoTime()
+    val n = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    println(f"""{"cores":$cores,"wall_sec":$dt%.3f,"docs":$n,"docs_per_sec":${n / dt}%.1f}""")
+  }
+}

@@ -128,11 +128,25 @@ object Corpus {
   }
 
   /** The synthesized corpus as a typed Dataset, seeded from the driver's
-    * documents table. Narrow (no shuffle): parquet scan -> map. */
-  def corpus(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+    * documents table.
+    *
+    * The seed table is tiny but the per-row work (synth + downstream
+    * extraction) is CPU-heavy — the classic small-input/heavy-map shape.
+    * A single parquet file would otherwise scan as ONE partition and
+    * serialize the whole job on one core, so we explicitly repartition the
+    * seed rows to 2x the cluster slots (cheap: rows are short strings;
+    * 2x over-decomposition smooths the mega-doc skew tail across slots).
+    *
+    * `replicate` emits k deterministic variants per seed row (disjoint
+    * doc_id spaces) — used by benchmarks to scale work without new data. */
+  def corpus(spark: SparkSession, sfDir: String, replicate: Int = 1): Dataset[Doc] = {
     import spark.implicits._
+    val slots = spark.sparkContext.defaultParallelism
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) => synth(id, text) }
+      .repartition(slots * 2)
+      .flatMap { case (id, text) =>
+        (0 until replicate).iterator.map(r => synth(id + r.toLong * 10000000L, text))
+      }
   }
 }

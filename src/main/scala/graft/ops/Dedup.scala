@@ -40,15 +40,30 @@ object Dedup {
     withSh.select(col(idCol) +: sigCols: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band minhash. Shuffles only the
-    * (band, hash) keys; bucket skew is bounded because identical texts
-    * produce identical signatures (dedup them first with `exact` at scale). */
+  /** LSH candidate pairs: banded minhash (bands x rowsPerBand signature;
+    * a band's bucket key is the hash of its `rowsPerBand` minhashes, so
+    * band-collision probability is jaccard^rowsPerBand — the standard
+    * S-curve). Shuffles only (band, key) pairs. `maxBucket` drops
+    * degenerate buckets (boilerplate/spam clusters) instead of letting one
+    * hot key produce O(bucket^2) pairs — at 10^12 docs a single viral
+    * near-dup cluster would otherwise dominate the job. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, bands)
-    val buckets = sigs.select(col(idCol).as("id"),
-      posexplode(array((0 until bands).map(b => col(s"mh_$b")): _*)).as(Seq("band", "h")))
-    buckets.as("a").join(buckets.as("b"),
+                        bands: Int = 4, rowsPerBand: Int = 2,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
+      expr(s"xxhash64(${rows.mkString(", ")})").as(s"bk_$b")
+    }
+    val keyed = sigs.select(col(idCol).as("id") +: bandKeys: _*)
+    val buckets = keyed.select(col("id"),
+      posexplode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as(Seq("band", "h")))
+    val bounded = buckets
+      .withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

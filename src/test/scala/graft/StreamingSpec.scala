@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+/** Structured Streaming twins of the batch operators (SURVEY §2.9): the
+  * incremental ingest path a 10^12-doc corpus would use. MemoryStream +
+  * processAllAvailable drives them synchronously in tests. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming extraction: docs arrive incrementally, contracts accumulate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().map { case (id, text) => gen.Corpus.synth(id, text) }
+    val contracts = pipeline.Pipeline.extract(docs).select("contract.*")
+    val q = contracts.writeStream.outputMode("append")
+      .format("memory").queryName("contracts_stream").start()
+    try {
+      stream.addData((1L, "alpha beta gamma. delta epsilon."), (2L, "one two. three four."))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM contracts_stream").head().getLong(0) == 2)
+      stream.addData((3L, "more text here. and more."))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, contract_number FROM contracts_stream ORDER BY doc_id")
+        .collect()
+      assert(out.length == 3)
+      assert(out.forall(_.getString(1).nonEmpty))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation (w06 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = stream.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count("*").as("n"), sum($"value").as("sum_value"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("hourly_stream").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:10:00")
+      stream.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n, sum_value FROM hourly_stream ORDER BY event_type").collect()
+      assert(rows.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 && r.getDouble(2) == 3.0))
+      assert(rows.exists(r => r.getString(0) == "view" && r.getLong(1) == 1))
+    } finally q.stop()
+  }
+
+  test("stateful retry queue via mapGroupsWithState (S1 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Boolean)] // (doc_id, succeeded)
+    case class S(attempts: Int, terminal: Boolean)
+    val updated = stream.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (id: String, events: Iterator[(String, Boolean)], state: GroupState[(Int, Boolean)]) =>
+          var (attempts, done) = state.getOption.getOrElse((0, false))
+          events.foreach { case (_, ok) =>
+            if (!done) {
+              if (ok) done = true
+              else { attempts += 1; if (attempts >= 3) done = true }
+            }
+          }
+          state.update((attempts, done))
+          (id, attempts, done)
+      }
+    val q = updated.toDF("doc_id", "attempts", "terminal")
+      .writeStream.outputMode("update").format("memory").queryName("retry_stream").start()
+    try {
+      stream.addData(("d1", false), ("d2", true))
+      q.processAllAvailable()
+      stream.addData(("d1", false), ("d1", false)) // d1 exhausts retries
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT attempts, terminal FROM retry_stream WHERE doc_id = 'd1' ORDER BY attempts DESC")
+        .head()
+      assert(last.getInt(0) == 3 && last.getBoolean(1))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,44 @@
+#!/bin/bash
+# Scaling-efficiency evidence (north rule: N vs 4N executors; local[8] vs
+# local[32] stand-in). One JVM per measurement; writes BENCH/BASELINE.md.
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.1}
+REP=${2:-8}
+export SPARK_DRIVER_MEM=48g
+run() {
+  sbt -batch "runMain graft.ScalingBench $1 $SF $REP" 2>&1 | grep -o '{"cores".*}' | tail -1
+}
+R8=$(run 8)
+R32=$(run 32)
+echo "$R8"
+echo "$R32"
+python3 - "$R8" "$R32" "$SF" <<'EOF'
+import json, sys
+r8, r32 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+sf = sys.argv[3]
+eff = r32['docs_per_sec'] / (4 * r8['docs_per_sec'])
+md = f"""# BENCH/BASELINE — measured throughput + scaling (graft engine)
+
+End-to-end extraction pipeline (synthesize interleaved corpus ->
+boilerplate strip -> block parse -> contract rows) on `{sf}`
+({r8['docs']} docs incl. ~1% mega-doc skew tail). Timed second pass
+(first pass warms JIT/codegen); one JVM per parallelism level.
+local[8] vs local[32] = N vs 4N executor slots on identical input
+(no real cluster in this sandbox).
+
+| parallelism | wall (s) | throughput (docs/s) |
+| --- | --- | --- |
+| local[8]  (N)  | {r8['wall_sec']:.2f} | {r8['docs_per_sec']:.0f} |
+| local[32] (4N) | {r32['wall_sec']:.2f} | {r32['docs_per_sec']:.0f} |
+
+**Scaling efficiency (N -> 4N): {eff:.2f}** (target >= 0.8, BASELINE.json
+north rule).
+
+Reference single-node baseline (/root/repo/BASELINE.md): 0.067-1 docs/s
+(sequential per-doc API calls). This engine exceeds it by >3 orders of
+magnitude per node; the target at 100 TB is the scaling curve above.
+"""
+open('BENCH/BASELINE.md', 'w').write(md)
+print(f'scaling_efficiency={eff:.3f}')
+EOF
