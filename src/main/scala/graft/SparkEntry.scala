@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{ExtractQueries, RelationalQueries, TrainingQueries}
+import graft.queries.{ExtractQueries, RelationalQueries, SinkQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
     "supplier", "part", "nation", "region", "events", "embeddings")
 
   private val shared: Map[String, (String, String)] =
-    ExtractQueries.all ++ RelationalQueries.all ++ TrainingQueries.all
+    ExtractQueries.all ++ RelationalQueries.all ++ TrainingQueries.all ++ SinkQueries.all
 
   /** Register the parquet tables a query mentions and run its Spark SQL.
     * escapedStringLiterals makes Spark read regex literals verbatim, the
