@@ -14,7 +14,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val replicate = if (args.length > 2) args(2).toInt else 8
+    val replicate = if (args.length > 2) args(2).toInt else 32
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -24,12 +24,17 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup pass (JIT + codegen), then timed pass
+    // warmup pass (JIT + codegen), then best of two timed passes (wall
+    // times on a shared box are noisy; min is the least-contended sample)
     pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
-    val t0 = System.nanoTime()
-    val n = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
-    val dt = (System.nanoTime() - t0) / 1e9
+    var best = Double.MaxValue
+    var n = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      n = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
     spark.stop()
-    println(f"""{"cores":$cores,"wall_sec":$dt%.3f,"docs":$n,"docs_per_sec":${n / dt}%.1f}""")
+    println(f"""{"cores":$cores,"wall_sec":$best%.3f,"docs":$n,"docs_per_sec":${n / best}%.1f}""")
   }
 }

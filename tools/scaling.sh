@@ -4,7 +4,7 @@
 set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
-REP=${2:-8}
+REP=${2:-256}
 export SPARK_DRIVER_MEM=48g
 run() {
   sbt -batch "runMain graft.ScalingBench $1 $SF $REP" 2>&1 | grep -o '{"cores".*}' | tail -1
