@@ -28,6 +28,7 @@ object SparkEntry {
     * same way DuckDB does — required for pattern parity with the oracle. */
   private def runShared(sqlText: String)(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    graft.functions.GraftFunctions.register(spark)
     TableNames.filter(sqlText.contains).foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }

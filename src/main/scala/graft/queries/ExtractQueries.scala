@@ -72,10 +72,13 @@ object ExtractQueries {
       s"SELECT doc_id, regexp_extract(ctext, $PatCur, 1) AS currency ${src()} ORDER BY doc_id"
     },
 
-    // P4 — labeled amount extract + locale parse (incl. the US$ quirk)
+    // P4 — labeled amount extract + locale parse (incl. the US$ quirk).
+    // Spark side uses the native codegen'd ParseAmount expression; the
+    // oracle uses the equivalent SQL chain (value parity in FunctionsSpec).
     "p04_amount" -> q { d =>
       val raw = s"regexp_extract(ctext, $PatAmt, 1)"
-      s"SELECT doc_id, round(${amountParse(d, raw)}, 4) AS total_value ${src()} ORDER BY doc_id"
+      val parsed = if (d.isSpark) s"parse_amount($raw)" else amountParse(d, raw)
+      s"SELECT doc_id, round($parsed, 4) AS total_value ${src()} ORDER BY doc_id"
     },
 
     // P5 — date extraction: valid-only, per-pattern text order
