@@ -82,6 +82,18 @@ object SparkEntry {
       val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir))
       ops.Media.withFeatures(media).orderBy("doc_id", "media_ref")
     }),
+    "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // tag entities over raw text (P16 heuristic path), A1 window dedup
+      val tag = udf((id: String, t: String) => graft.extract.Entities.tagEntities(id, t))
+      val ents = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .select(col("doc_id"), explode(tag(col("doc_id"), col("text"))).as("e"))
+        .select(col("doc_id"), col("e.text").as("text"), col("e.entity_type").as("entity_type"),
+          col("e.start_pos").as("start_pos"), col("e.end_pos").as("end_pos"),
+          col("e.confidence").as("confidence"))
+      graft.extract.Entities.dedupWindow(ents).orderBy("doc_id", "entity_type", "start_pos")
+    }),
     "x09_boiler_strip" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       gen.Corpus.corpus(s, dir).map { d =>

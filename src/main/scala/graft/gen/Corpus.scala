@@ -108,10 +108,14 @@ object Corpus {
     val cnpj = f"${(h >>> 3) % 90 + 10}%02d.${(h >>> 7) % 900 + 100}%03d.${(h >>> 13) % 900 + 100}%03d/0001-${(h >>> 17) % 90 + 10}%02d"
     b += (("paragraph", s"CNPJ: $cnpj", ""))
 
-    // filler body from the seed text, repeated for the skew tail
+    // filler body from the seed text, repeated for the skew tail. The seed
+    // text is an unpunctuated word stream, so pseudo-sentences are 6-word
+    // groups — this gives mega docs a real span fan-out (~600 spans vs ~26,
+    // a ~25x straggler without salting).
     val reps = if (docId % MegaModulus == 0) MegaFactor else 1
     val sentences = Option(seedText).getOrElse("")
-      .split("\\. ").iterator.filter(_.nonEmpty).take(8).toVector
+      .split(" ").iterator.filter(_.nonEmpty).grouped(6)
+      .map(_.mkString(" ")).take(8).toVector
     var r = 0
     while (r < reps) {
       b += (("heading", s"Annex $r", ""))

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.extract.{Entities, Rules}
+import graft.model.Entity
+
+/** A1 dedup: window shape == Aggregator shape == pure Rules (on distinct
+  * confidences); snapshot/resume seam; extensions-injected function. */
+class EntitiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sample: Seq[(String, Entity)] = Seq(
+    "d1" -> Entity("ACME Corp", "SUPPLIER", 0, 9, 0.7),
+    "d1" -> Entity("acme corp", "SUPPLIER", 20, 29, 0.9),
+    "d1" -> Entity("Beta", "CUSTOMER", 5, 9, 0.5),
+    "d1" -> Entity("01/02/2024", "START_DATE", 2, 12, 0.6),
+    "d1" -> Entity("1/2/2024", "START_DATE", 40, 48, 0.8),   // same normalized date
+    "d2" -> Entity("Beta", "CUSTOMER", 1, 5, 0.4))
+
+  test("window dedup == aggregator dedup == Rules on distinct confidences") {
+    import spark.implicits._
+    val df = sample.map { case (d, e) =>
+      (d, e.text, e.entity_type, e.start_pos, e.end_pos, e.confidence)
+    }.toDF("doc_id", "text", "entity_type", "start_pos", "end_pos", "confidence")
+
+    val win = Entities.dedupWindow(df)
+      .select("doc_id", "text", "entity_type", "confidence")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+
+    val agg = sample.toDS()
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Entities.DedupEntitiesAgg.toColumn.name("ents"))
+      .flatMap { case (d, es) => es.map(e => (d, e.text, e.entity_type, e.confidence)) }
+      .collect().toSet
+
+    val pure = sample.groupBy(_._1).flatMap { case (d, es) =>
+      Rules.dedupEntities(es.map(_._2)).map(e => (d, e.text, e.entity_type, e.confidence))
+    }.toSet
+
+    assert(win == pure)
+    assert(agg == pure)
+    // the two same-normalized dates collapsed to the higher-confidence one
+    assert(pure.count(_._3 == "START_DATE") == 1)
+    assert(pure.exists(t => t._2 == "1/2/2024" && t._4 == 0.8))
+  }
+
+  test("tagEntities: deterministic heuristic path") {
+    val es = Entities.tagEntities("d", "The total cost is high. Effective date applies here. This agreement binds.")
+    assert(es.map(_.entity_type) == Seq("AMOUNT", "START_DATE", "CONTRACT_ID"))
+    assert(es.forall(_.confidence == 0.85))
+    assert(es.forall(e => e.end_pos - e.start_pos == e.text.length))
+  }
+
+  test("snapshots: manifest listing, latest, pending anti-join") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val docs = gen.Corpus.corpus(spark, "/root/testdata/sf0.001")
+    assert(graft.io.Snapshots.list(out).isEmpty)
+    assert(graft.io.Snapshots.pending(spark, docs, out).count() == docs.count())
+    pipeline.Pipeline.run(spark, docs, out, "snap-a")
+    val ms = graft.io.Snapshots.list(out)
+    assert(ms.map(_.snapshotId) == Seq("snap-a"))
+    assert(ms.head.docsOk == 500)
+    assert(graft.io.Snapshots.pending(spark, docs, out).count() == 0)
+  }
+
+  test("GraftExtensions injects parse_amount into a fresh session") {
+    val old = spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // builds a NEW session on the existing context, applying extensions.
+      // (The `spark.sql.extensions` conf string is a STATIC conf read at
+      // SparkContext creation — in-test we attach via withExtensions, the
+      // programmatic equivalent of the spark-submit conf.)
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val v = s2.sql("SELECT parse_amount('R$ 150.000,00')").collect()(0).getDouble(0)
+      assert(v == 150000.0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}
