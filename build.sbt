@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: the extraction hot path is allocation-heavy
+  // (regex + string churn across 32 executor threads); ParallelGC
+  // measures ~10-15% faster than G1 here and narrows the 8->32 scaling gap.
+  "-XX:+UseParallelGC",
 )

@@ -62,7 +62,7 @@ object Extract {
     }
 
   /** Faithful JSON/block-path metadata fold (contract_parser.py:196-239). */
-  private[extract] final class BlockMeta {
+  final class BlockMeta {
     var title: Option[String] = None
     var number: Option[String] = None
     var currency: Option[String] = None
@@ -77,14 +77,17 @@ object Extract {
         if (title.forall(_.isEmpty)) title = Some(Option(text).getOrElse("").trim)
       } else if (kind == "paragraph") {
         val t = Option(text).getOrElse("")
-        if (number.isEmpty) number = Rules.contractNumberPlain(t)
-        if (currency.isEmpty) currency = Rules.currency(t)
-        if (dates.isEmpty) {
+        val lc = t.toLowerCase(java.util.Locale.ROOT)
+        if (number.isEmpty && Rules.mayHaveNumber(lc))
+          number = Rules.contractNumberPlain(t)
+        if (currency.isEmpty && Rules.mayHaveCurrency(lc))
+          currency = Rules.currency(t)
+        if (dates.isEmpty && Rules.mayHaveDate(t)) {
           val d = Rules.extractDates(t)
           if (d.nonEmpty) dates = d
         }
         if (client.isEmpty || vendor.isEmpty) {
-          val (c, v) = Rules.parties(t)
+          val (c, v) = Rules.partiesLc(t, lc)
           // Python dict.update: overwrite whatever the paragraph yielded.
           if (c.isDefined) client = c
           if (v.isDefined) vendor = v
@@ -101,11 +104,22 @@ object Extract {
     blocks.foreach(b => meta.feed(b.kind, b.text))
     // entities content: ' '.join over every block with non-empty text (:346)
     val entityContent = blocks.iterator.map(_.text).filter(t => t != null && t.nonEmpty).mkString(" ")
-    // type detect over str(data)-equivalent: '\n' join prevents cross-block matches
-    val typeContent = blocks.iterator.flatMap(b => Iterator(b.kind, Option(b.text).getOrElse(""))).mkString("\n")
-    val ctype = Rules.contractType(typeContent)
+    val lcEntity = entityContent.toLowerCase(java.util.Locale.ROOT)
+    // type detect over str(data)-equivalent: '\n' join prevents cross-block
+    // matches; built lowered in one pass (hot path)
+    val typeLc = {
+      val sb = new StringBuilder
+      blocks.foreach { b =>
+        sb.append(b.kind).append('\n')
+        if (b.text != null) sb.append(b.text.toLowerCase(java.util.Locale.ROOT))
+        sb.append('\n')
+      }
+      if (sb.nonEmpty) sb.setLength(sb.length - 1)
+      sb.result()
+    }
+    val ctype = Rules.contractTypeLc(typeLc)
     val sections = Rules.sectionsFromBlocks(blocks)
-    val clauses = Rules.keyClauses(entityContent)
+    val clauses = Rules.keyClausesLc(lcEntity)
     val tableBlocks = blocks.count(_.kind == "table")
     build(docId, meta.title, meta.number, meta.currency, None, meta.dates,
       meta.client, meta.vendor, ctype, Rules.emails(entityContent),
@@ -201,6 +215,7 @@ object Extract {
     * for exact section reconstruction counts. */
   case class ChunkEvidence(
       chunkIdx: Int,
+      sawHeading: Boolean,
       titleOff: Int, title: String,
       numberOff: Int, number: String,
       currencyOff: Int, currency: String,
@@ -231,13 +246,16 @@ object Extract {
         if (tOff == NoHit && text.trim.nonEmpty) { tOff = b.offset; t = text.trim }
         secEv += ((b.offset, text.toLowerCase(java.util.Locale.ROOT), true))
       } else if (b.kind == "paragraph") {
-        if (nOff == NoHit) Rules.contractNumberPlain(text).foreach { x => nOff = b.offset; n = x }
-        if (cOff == NoHit) Rules.currency(text).foreach { x => cOff = b.offset; c = x }
-        if (dOff == NoHit) {
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
+        if (nOff == NoHit && Rules.mayHaveNumber(lc))
+          Rules.contractNumberPlain(text).foreach { x => nOff = b.offset; n = x }
+        if (cOff == NoHit && Rules.mayHaveCurrency(lc))
+          Rules.currency(text).foreach { x => cOff = b.offset; c = x }
+        if (dOff == NoHit && Rules.mayHaveDate(text)) {
           val d = Rules.extractDates(text)
           if (d.nonEmpty) { dOff = b.offset; ds = d }
         }
-        val (pc, pv) = Rules.parties(text)
+        val (pc, pv) = Rules.partiesLc(text, lc)
         if (pc.isDefined || pv.isDefined)
           partyEv += ((b.offset, pc.orNull, pv.orNull))
         secEv += ((b.offset, null, false))
@@ -245,7 +263,7 @@ object Extract {
     }
     val entityContent = blocks.iterator.map(_.text).filter(x => x != null && x.nonEmpty).mkString(" ")
     val typeText = blocks.iterator.flatMap(b => Iterator(b.kind, Option(b.text).getOrElse(""))).mkString("\n")
-    ChunkEvidence(chunkIdx, tOff, t, nOff, n, cOff, c, dOff, ds,
+    ChunkEvidence(chunkIdx, blocks.exists(_.kind == "heading"), tOff, t, nOff, n, cOff, c, dOff, ds,
       partyEv.toSeq, Rules.emails(entityContent), Rules.cnpjCpf(entityContent),
       blocks.count(_.kind == "table"), Rules.keyClauses(entityContent),
       entityContent.take(64), entityContent.takeRight(64), secEv.toSeq, typeText)
@@ -257,7 +275,10 @@ object Extract {
     val evs = evs0.sortBy(_.chunkIdx)
     def first(off: ChunkEvidence => Int, v: ChunkEvidence => String): Option[String] =
       evs.filter(e => off(e) != NoHit).sortBy(off).headOption.map(v)
+    // Python truthiness edge: headings exist but all strip to "" -> the
+    // reference leaves title = "" (key set), not absent.
     val title = first(_.titleOff, _.title)
+      .orElse(if (evs.exists(_.sawHeading)) Some("") else None)
     val number = first(_.numberOff, _.number)
     val currency = first(_.currencyOff, _.currency)
     val dates = evs.filter(_.datesOff != NoHit).sortBy(_.datesOff)
@@ -273,8 +294,13 @@ object Extract {
     val emails = evs.flatMap(_.emails).distinct.sorted
     val cnpj = evs.flatMap(_.cnpj).distinct.sorted
     val tableCount = evs.map(_.tableCount).sum
-    // clause flags: per-chunk hits + boundary windows for straddling terms
-    val boundaryText = evs.sliding(2).collect {
+    // clause flags: per-chunk hits + boundary windows for straddling
+    // multi-word terms. Chunks with no text content are skipped so the
+    // boundary chain mirrors the ' '-join of the full entity content
+    // (an all-media chunk between two text chunks must not break the
+    // window).
+    val textChunks = evs.filter(e => e.headText.nonEmpty || e.tailText.nonEmpty)
+    val boundaryText = textChunks.sliding(2).collect {
       case Seq(a, b) => a.tailText + " " + b.headText
     }.mkString("\n")
     val clauses = (evs.flatMap(_.clauseHits) ++ Rules.keyClauses(boundaryText))

@@ -32,6 +32,25 @@ object Corpus {
   private def pick[T](h: Long, shift: Int, xs: IndexedSeq[T]): T =
     xs((((h >>> shift) % xs.length + xs.length) % xs.length).toInt)
 
+  // Manual zero-pad / digit-grouping (java.util.Formatter via f"" costs
+  // ~1us per call through locale machinery — this is the synth hot path).
+  private def pad2(n: Long): String = if (n < 10) "0" + n else n.toString
+  private def padN(n: Long, width: Int): String = {
+    val s = n.toString
+    if (s.length >= width) s else "0" * (width - s.length) + s
+  }
+  private def grouped(n: Long, sep: Char): String = {
+    val s = n.toString
+    val sb = new StringBuilder
+    var i = 0
+    val first = s.length % 3
+    while (i < s.length) {
+      if (i != 0 && (i - first) % 3 == 0) sb.append(sep)
+      sb.append(s.charAt(i)); i += 1
+    }
+    sb.result()
+  }
+
   val Clients: IndexedSeq[String] = IndexedSeq(
     "TechCorp Inc.", "Global Finance SA", "Acme Holdings", "Banco Azul SA",
     "Norte Energia Ltda", "Prime Retail Group", "Delta Logistics Co.",
@@ -66,13 +85,13 @@ object Corpus {
     val month = 1 + (((h >>> 28) % 12 + 12) % 12).toInt
     val day = 1 + (((h >>> 32) % 28 + 28) % 28).toInt
     val amountCents = ((h >>> 36) & 0xffffff) + 1000
-    val number = f"${TypeCodes(typeIdx)}-$year-${(h >>> 44) & 0xfff}%04d"
+    val number = TypeCodes(typeIdx) + "-" + year + "-" + padN((h >>> 44) & 0xfff, 4)
     val curIdx = (((h >>> 40) % 4 + 4) % 4).toInt
 
     // Amount rendered in one of the reference's four locale shapes (P4).
     val units = amountCents / 100; val cents = amountCents % 100
-    val br = f"${units}%,d".replace(",", ".") + f",$cents%02d"
-    val us = f"${units}%,d" + f".$cents%02d"
+    val br = grouped(units, '.') + "," + pad2(cents)
+    val us = grouped(units, ',') + "." + pad2(cents)
     val amountStr = curIdx match {
       case 0 => s"R$$ $br"
       case 1 => s"US$$ $us"
@@ -80,8 +99,8 @@ object Corpus {
       case _ => br
     }
 
-    val d1 = f"$day%02d/$month%02d/$year"
-    val d2 = f"$day%02d/$month%02d/${year + 2}"
+    val d1 = pad2(day) + "/" + pad2(month) + "/" + year
+    val d2 = pad2(day) + "/" + pad2(month) + "/" + (year + 2)
 
     val b = Vector.newBuilder[(String, String, String)] // (kind, text, media_ref)
     // html boilerplate: link-farm nav (stripped by P26) before content
@@ -105,7 +124,8 @@ object Corpus {
     b += (("paragraph", s"Confidencialidade: all terms are confidential.", ""))
     b += (("table", "| item | qty |\n|---|---|\n| support | 12 |", ""))
     b += (("paragraph", s"Email: contact${docId % 97}@corp${docId % 13}.com", ""))
-    val cnpj = f"${(h >>> 3) % 90 + 10}%02d.${(h >>> 7) % 900 + 100}%03d.${(h >>> 13) % 900 + 100}%03d/0001-${(h >>> 17) % 90 + 10}%02d"
+    val cnpj = pad2((h >>> 3) % 90 + 10) + "." + padN((h >>> 7) % 900 + 100, 3) + "." +
+      padN((h >>> 13) % 900 + 100, 3) + "/0001-" + pad2((h >>> 17) % 90 + 10)
     b += (("paragraph", s"CNPJ: $cnpj", ""))
 
     // filler body from the seed text, repeated for the skew tail. The seed

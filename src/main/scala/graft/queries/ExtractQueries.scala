@@ -265,6 +265,32 @@ object ExtractQueries {
       s"SELECT s_suppkey, $clean AS filename FROM supplier ORDER BY s_suppkey"
     },
 
+    // P27 — local analyzer fallback (services/contract_analyzer.py:213-267):
+    // first-match-wins over 3 contract-id patterns + 2 title patterns,
+    // then post-processing (strip dots/space, truncate 200 + '...').
+    "p27_local_analysis" -> q { d =>
+      val atext = """(CASE CAST(doc_id % 3 AS INT)
+        | WHEN 0 THEN 'This Agreement is entered into between Alpha Holdings and Beta Partners. More text.'
+        | WHEN 1 THEN 'Contract No. : AB-2024-0042 applies here. Title: Services Deal' || chr(10) || 'next line'
+        | ELSE 'nothing to find here' END || ' ' || text)"""
+        .stripMargin.replace("\n", " ")
+      def ne(x: String) = s"nullif($x, '')"
+      val id1 = "regexp_extract(atext, '(?i)Contract\\s+(?:No\\.?|Number|#)\\s*[:.]?\\s*([A-Z0-9\\-_]+)', 1)"
+      val id2 = "regexp_extract(atext, '(?i)Agreement\\s+(?:No\\.?|Number|#)\\s*[:.]?\\s*([A-Z0-9\\-_]+)', 1)"
+      val id3 = "regexp_extract(atext, '(?i)([A-Z]{2,3}-[0-9]{4}-[0-9]{3,4})', 1)"
+      val n1 = "regexp_extract(atext, '(?i)(?:This\\s+)?(?:Agreement|Contract)\\s+(?:is\\s+)?(?:entered\\s+into|made)\\s+(?:by\\s+and\\s+between|between)\\s+(.+?)(?:\\s+and\\s+|\\.)', 1)"
+      val n2 = "regexp_extract(atext, '(?i)Title[:\\s]+(.+?)(?:\\n|\\.)', 1)"
+      val cid = s"coalesce(${ne(id1)}, ${ne(id2)}, ${ne(id3)})"
+      val cidClean =
+        if (d.isSpark) s"trim(trim(BOTH '.' FROM trim($cid)))"
+        else s"trim(trim(trim($cid), '.'))"
+      val name = s"trim(coalesce(${ne(n1)}, ${ne(n2)}))"
+      val nameTrunc = s"CASE WHEN length($name) > 200 THEN substr($name, 1, 200) || '...' ELSE $name END"
+      s"""SELECT doc_id, $cidClean AS contract_id, $nameTrunc AS contract_name
+         |FROM (SELECT doc_id, $atext AS atext FROM documents) t ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
     // P21 — rename-vs-translate decision over planted filenames
     "p21_optype" -> q { d =>
       val re = "'^[\\x00-\\x7f]*$'"

@@ -26,26 +26,50 @@ object RelationalQueries {
     },
 
     // J2 — spatial theta-join + per-line argmax (bbox intersection,
-    // table_processor_fixed.py:237-294, reduced to 1-D intervals)
+    // table_processor_fixed.py:237-294, reduced to 1-D intervals).
+    // Spark side: cells derive from `orders` (already distinct — no extra
+    // shuffle) and the per-line argmax is a lexicographic max(struct(
+    // inter, -cell_id)) hash aggregate — partial aggregation, no window
+    // sort. Oracle keeps the equivalent row_number form; identical output
+    // incl. the cell_id-asc tiebreak.
     "j02_spatial_argmax" -> q { d =>
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |         CAST(l_partkey % 80 AS INT) AS x0,
-        |         CAST(l_partkey % 80 + l_suppkey % 20 + 5 AS INT) AS x1
-        |  FROM lineitem),
-        |cells AS (
-        |  SELECT DISTINCT l_orderkey AS c_orderkey, j AS cell_id,
-        |         j * 25 AS cx0, j * 25 + 25 AS cx1
-        |  FROM lineitem, (VALUES (0), (1), (2), (3)) AS cj(j)),
-        |scored AS (
-        |  SELECT l.l_orderkey, l.l_linenumber, c.cell_id,
-        |         greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) AS inter,
-        |         row_number() OVER (PARTITION BY l.l_orderkey, l.l_linenumber
-        |                            ORDER BY greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) DESC, c.cell_id) AS rn
-        |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey)
-        |SELECT l_orderkey, l_linenumber, cell_id, inter
-        |FROM scored WHERE rn = 1 AND inter > 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
+      if (d.isSpark)
+        """WITH lines AS (
+          |  SELECT l_orderkey, l_linenumber,
+          |         CAST(l_partkey % 80 AS INT) AS x0,
+          |         CAST(l_partkey % 80 + l_suppkey % 20 + 5 AS INT) AS x1
+          |  FROM lineitem),
+          |cells AS (
+          |  SELECT o_orderkey AS c_orderkey, j AS cell_id,
+          |         j * 25 AS cx0, j * 25 + 25 AS cx1
+          |  FROM orders, (VALUES (0), (1), (2), (3)) AS cj(j)),
+          |best AS (
+          |  SELECT l.l_orderkey, l.l_linenumber,
+          |         max(struct(greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)), -c.cell_id)) AS m
+          |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey
+          |  GROUP BY l.l_orderkey, l.l_linenumber)
+          |SELECT l_orderkey, l_linenumber, -m.col2 AS cell_id, m.col1 AS inter
+          |FROM best WHERE m.col1 > 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
+      else
+        """WITH lines AS (
+          |  SELECT l_orderkey, l_linenumber,
+          |         CAST(l_partkey % 80 AS INT) AS x0,
+          |         CAST(l_partkey % 80 + l_suppkey % 20 + 5 AS INT) AS x1
+          |  FROM lineitem),
+          |cells AS (
+          |  SELECT o_orderkey AS c_orderkey, j AS cell_id,
+          |         j * 25 AS cx0, j * 25 + 25 AS cx1
+          |  FROM orders, (VALUES (0), (1), (2), (3)) AS cj(j)),
+          |scored AS (
+          |  SELECT l.l_orderkey, l.l_linenumber, c.cell_id,
+          |         greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) AS inter,
+          |         row_number() OVER (PARTITION BY l.l_orderkey, l.l_linenumber
+          |                            ORDER BY greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) DESC, c.cell_id) AS rn
+          |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey)
+          |SELECT l_orderkey, l_linenumber, cell_id, inter
+          |FROM scored WHERE rn = 1 AND inter > 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
     },
 
     // J4 + A2 — dimension broadcast joins: customer -> nation -> region rollup
