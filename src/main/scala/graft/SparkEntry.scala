@@ -94,6 +94,15 @@ object SparkEntry {
           col("e.confidence").as("confidence"))
       graft.extract.Entities.dedupWindow(ents).orderBy("doc_id", "entity_type", "start_pos")
     }),
+    "x11_sampleby" -> ((s: SparkSession, dir: String) => {
+      // DataFrameStatFunctions.sampleBy — the reference's stratified
+      // sampling (openai_contract_explorer.py:229-310) via the built-in
+      // (seeded; the deterministic md5 variant is d05, oracle-checked)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.stat.sampleBy("lang",
+        Map("en" -> 0.3, "es" -> 0.6, "de" -> 0.6, "fr" -> 0.6, "zh" -> 0.6),
+        42L).select("doc_id", "lang").orderBy("doc_id")
+    }),
     "x09_boiler_strip" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       gen.Corpus.corpus(s, dir).map { d =>

@@ -11,6 +11,9 @@ set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
 REP=${2:-64}
+if [ ! -s /tmp/graft_cp.txt ]; then
+  sbt -batch "export Runtime/fullClasspath" 2>/dev/null | tail -1 > /tmp/graft_cp.txt
+fi
 CP=$(cat /tmp/graft_cp.txt)
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 JFLAGS="-Xmx20g -XX:+UseParallelGC -XX:ParallelGCThreads=6 -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
