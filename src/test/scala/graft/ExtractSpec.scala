@@ -119,6 +119,55 @@ This agreement covers the provision of development services...
     assert(errs.contains("Contract total value must be positive"))
   }
 
+  test("JSON twin fixture (test_e2e_workflow.py:108-148, live goldens)") {
+    val blocks = Seq(
+      ("heading", "Service Agreement"),
+      ("paragraph", "Contract Number: SA-2024-002"),
+      ("paragraph", "Client: TestCorp"),
+      ("paragraph", "Vendor: TestVendor"),
+      ("paragraph", "Value: US$ 50,000.00"),
+      ("paragraph", "Start Date: 2024-06-01"),
+      ("paragraph", "End Date: 2024-12-31")
+    ).zipWithIndex.map { case ((k, t), i) => Span(k, t, "", i) }
+    val c = Extract.parseBlocks("sa2", blocks)
+    assert(c.title == "Service Agreement")
+    assert(c.contract_number == "SA-2024-002")
+    assert(c.client_name == "TestCorp" && c.vendor_name == "TestVendor")
+    assert(c.currency == "US$")          // 'US$', not 'USD' (pinned)
+    assert(c.total_value.isEmpty)        // JSON path extracts no amount
+    assert(c.effective_date == "2024-06-01") // ISO date in the first dated block
+    assert(c.contract_type == "MSA")     // no keyword hit -> default
+    assert(c.n_sections == 1)
+    assert(math.abs(c.confidence - 0.7) < 1e-9)
+  }
+
+  test("MSA/SOW/PWO trio (test_e2e_workflow.py:278-350): types, parties, validation") {
+    def md(title: String, num: String, value: String, d1: String, d2: String) =
+      s"""# $title
+         |**Contract Number:** $num
+         |**Client:** TechCorp Inc.
+         |**Vendor:** DevSolutions Ltd.
+         |**Value:** $value
+         |**Start Date:** $d1
+         |**End Date:** $d2""".stripMargin
+    val trio = Seq(
+      ("Master Service Agreement", "MSA-2024-001", "R$ 500.000,00", "01/01/2024", "31/12/2026", "MSA"),
+      ("Statement of Work", "SOW-2024-001", "R$ 100.000,00", "01/03/2024", "31/08/2024", "SOW"),
+      ("Project Work Order", "PWO-2024-001", "R$ 50.000,00", "01/06/2024", "31/12/2024", "PWO"))
+    val parsed = trio.map { case (t, n, v, d1, d2, _) =>
+      Extract.parseMarkdown(n, md(t, n, v, d1, d2))
+    }
+    parsed.zip(trio).foreach { case (c, (_, n, _, _, _, typ)) =>
+      assert(c.contract_number == n)
+      assert(c.contract_type == typ)
+      assert(c.client_name == "TechCorp Inc." && c.vendor_name == "DevSolutions Ltd.")
+      assert(Extract.validate(c).isEmpty)   // e2e asserts 0 errors per file
+    }
+    // the reference tolerates total_value misses (R$ blocks the regex);
+    // live run extracts none -> portfolio sum over extracted values is 0
+    assert(parsed.flatMap(_.total_value).sum == 0.0)
+  }
+
   test("salted evidence merge == direct path on the fixture") {
     for (chunkSize <- Seq(2, 3, 5, 100)) {
       val evs = jsonBlocks.grouped(chunkSize).zipWithIndex
