@@ -94,6 +94,12 @@ object SparkEntry {
           col("e.confidence").as("confidence"))
       graft.extract.Entities.dedupWindow(ents).orderBy("doc_id", "entity_type", "start_pos")
     }),
+    "x12_media_frames" -> ((s: SparkSession, dir: String) => {
+      // multimodal frame sampling (stub codec; real plumbing) — one row
+      // per sampled frame per media item
+      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir))
+      ops.Media.frameSample(media, 4).orderBy("doc_id", "media_ref", "frame_idx")
+    }),
     "x11_sampleby" -> ((s: SparkSession, dir: String) => {
       // DataFrameStatFunctions.sampleBy — the reference's stratified
       // sampling (openai_contract_explorer.py:229-310) via the built-in
