@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to this process's stdout/stderr (no sbt
+// "[info] " prefix) — the driver parses graft.Bench's one-line JSON from
+// stdout, and a logger prefix breaks its json parse (BENCH_r01: parsed null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,7 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default: the bench's 16x-replicated sf0.1 corpus + 32 executor
+  // threads GC-thrash at 8g (driver-run BENCH_r01 measured 3.4k docs/s vs
+  // ~190k in a right-sized JVM — a heap artifact, not a plan property).
+  // The sandbox has 128 GiB; a real cluster sizes executor heaps the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   // Throughput collector: the extraction hot path is allocation-heavy
   // (regex + string churn across 32 executor threads); ParallelGC
   // measures ~10-15% faster than G1 here and narrows the 8->32 scaling gap.

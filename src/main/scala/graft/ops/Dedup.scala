@@ -109,9 +109,21 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       simhash64(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("simhash"))
 
-  /** SimHash near-dup pairs with hamming <= maxDist via pigeonhole blocks. */
+  /** SimHash near-dup pairs with hamming <= maxDist via pigeonhole blocks.
+    *
+    * Scale guards:
+    *  - `maxDist` is capped at 7 (8 blocks of 8 bits). Beyond that the
+    *    block width collapses (64/(d+1) bits -> 2^width keys per block) and
+    *    the equi-join degenerates toward all-pairs — worse than a cartesian
+    *    at maxDist=12 (VERDICT r1 #2). Callers wanting looser matches
+    *    should LSH on minhash instead.
+    *  - `maxBucket` drops degenerate (blk, key) buckets — same guard as
+    *    `minhashCandidates`: one viral near-dup cluster must not produce
+    *    O(bucket^2) pairs at 10^12 docs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 7,
+      s"maxDist=$maxDist: pigeonhole blocks need width >= 8 bits to stay selective")
     val blocks = maxDist + 1
     val width = 64 / blocks
     val sh = withSimhash(docs, idCol, textCol)
@@ -119,7 +131,12 @@ object Dedup {
       posexplode(array((0 until blocks).map { b =>
         expr(s"CAST(shiftright(simhash, ${b * width}) & ${(1L << width) - 1} AS BIGINT)")
       }: _*)).as(Seq("blk", "key")))
-    keyed.as("a").join(keyed.as("b"),
+    val bounded = keyed
+      .withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk", "key")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a").join(bounded.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),

@@ -80,7 +80,15 @@ object Pipeline {
   def extractSalted(docs: Dataset[Doc], chunkSize: Int = 256): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sized = docs.map(d => (d, d.spans.size))
+    // ONE upstream pass: the small/big branches are two consumers of the
+    // same dataset, and Spark does not share subplans across union branches
+    // — without a persist each branch replays the full input lineage
+    // (synth + scan), which cost 27x the direct path in BENCH_r01. The
+    // cache is unpersisted by the ContextCleaner when the dataset is GC'd;
+    // at cluster scale the same split would read a checkpointed table.
+    val sized = docs
+      .map(d => (d, if (d.spans == null) 0 else d.spans.size))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = sized.filter(_._2 <= chunkSize * 2).map(_._1)
     val big = sized.filter(_._2 > chunkSize * 2).map(_._1)
 
@@ -89,20 +97,37 @@ object Pipeline {
         .map { case (c, i) => (d.doc_id, i, c) }
     }
     // salt: hash-partition on (doc_id, chunk_idx) so chunks of one mega
-    // doc land on different executors
+    // doc land on different executors. Per-chunk soft-fail mirrors the
+    // direct path: one corrupt mega-doc becomes a status='error' row, it
+    // must not fail the stage. The raw chunk size rides along so the
+    // merged n_spans equals the direct path's doc.spans.size.
     val evidences = chunks
       .repartition(col("_1"), col("_2"))
       .map { case (id, idx, spans) =>
-        (id, Extract.chunkEvidence(idx, Extract.stripBoilerplate(spans)))
+        try (id, Option(Extract.chunkEvidence(idx, Extract.stripBoilerplate(spans))),
+          spans.size, "")
+        catch {
+          case e: Exception =>
+            (id, Option.empty[Extract.ChunkEvidence], spans.size, String.valueOf(e.getMessage))
+        }
       }
     val merged: Dataset[ExtractedDoc] = evidences
       .groupByKey(_._1)
       .mapGroups { (id, it) =>
-        val evs = it.map(_._2).toSeq
-        val row = Extract.mergeEvidence(id, evs)
-        ExtractedDoc(row, "ok", "", TaskContext.getPartitionId(),
-          evs.map(_.sectionEvents.size).sum,
-          Rules.opHash(id, "extract_salted", id, row.contract_number))
+        val all = it.toSeq
+        val nSpans = all.iterator.map(_._3).sum
+        try {
+          all.collectFirst { case (_, _, _, e) if e.nonEmpty => e }
+            .foreach(e => throw new RuntimeException(e))
+          val row = Extract.mergeEvidence(id, all.flatMap(_._2))
+          ExtractedDoc(row, "ok", "", TaskContext.getPartitionId(), nSpans,
+            Rules.opHash(id, "extract_salted", id, row.contract_number))
+        } catch {
+          case e: Exception =>
+            ExtractedDoc(emptyRow(id), "error", String.valueOf(e.getMessage),
+              TaskContext.getPartitionId(), nSpans,
+              Rules.opHash(id, "error", id, ""))
+        }
       }
     extract(small).unionByName(merged)
   }

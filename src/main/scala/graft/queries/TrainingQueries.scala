@@ -21,19 +21,36 @@ object TrainingQueries {
         |GROUP BY key ORDER BY key""".stripMargin.replace("\n", " ")
     },
 
-    // D2 — n-gram Jaccard near-dup within (lang, |n_chars| window) buckets.
-    // The bucket join bounds the pair count (the LSH prefilter at scale).
+    // D2 — n-gram Jaccard near-dup within (lang, n_chars band) buckets.
+    // Spark side equi-joins on the COMPOSITE key (lang, floor(n_chars/6));
+    // |a-b| <= 5 implies the bands differ by at most 1, so the probe side
+    // explodes to bands {bk-1, bk, bk+1} and each qualifying pair matches
+    // exactly ONE delta — linear shuffle, no n^2-per-lang blowup (VERDICT
+    // r1 #3; lang alone has ~5 values). The oracle keeps the naive join
+    // (same output, simplest-possible spec for DuckDB).
     "d02_jaccard_pairs" -> q { d =>
       val ldist = if (d.isSpark) "array_distinct" else "list_distinct"
       val inter = if (d.isSpark) "size(array_intersect(a.ws, b.ws))" else "len(list_intersect(a.ws, b.ws))"
-      s"""WITH w AS (SELECT doc_id, lang, n_chars, $ldist(${words("text")}) AS ws FROM documents)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round($inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0), 4) AS jaccard
-         |FROM w a JOIN w b
-         |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  AND abs(a.n_chars - b.n_chars) <= 5
-         |WHERE $inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0) >= 0.2
-         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+      val jac = s"$inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0)"
+      if (d.isSpark)
+        s"""WITH w AS (SELECT doc_id, lang, n_chars, $ldist(${words("text")}) AS ws FROM documents),
+           |wb AS (SELECT doc_id, lang, n_chars, ws, CAST(floor(n_chars / 6e0) AS BIGINT) AS bk FROM w),
+           |probe AS (SELECT doc_id, lang, n_chars, ws, bk + delta AS bk
+           |          FROM wb LATERAL VIEW explode(array(-1, 0, 1)) dd AS delta)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jac, 4) AS jaccard
+           |FROM probe a JOIN wb b
+           |  ON a.lang = b.lang AND a.bk = b.bk AND a.doc_id < b.doc_id
+           |  AND abs(a.n_chars - b.n_chars) <= 5
+           |WHERE $jac >= 0.2
+           |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+      else
+        s"""WITH w AS (SELECT doc_id, lang, n_chars, $ldist(${words("text")}) AS ws FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jac, 4) AS jaccard
+           |FROM w a JOIN w b
+           |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  AND abs(a.n_chars - b.n_chars) <= 5
+           |WHERE $jac >= 0.2
+           |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
 
     // D3 — minhash signatures: 4 bands, min over md5-hashed 3-word shingles
