@@ -23,6 +23,7 @@ object Bench {
     // JVM/codegen warmup (tiny, not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
     Bench.runOnce(spark, sfDir, warm = true)
+    spark.catalog.clearCache()
 
     val (results, docsPerSec) = runOnce(spark, sfDir, warm = false)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -41,17 +42,24 @@ object Bench {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-    val (tExtract, nDocs) = time {
+    // Host CPU-steal episodes swing single-pass walls up to ~10x on this VM
+    // (BENCH/BASELINE.md); the headline metrics take the min of 3 passes —
+    // the least-contended sample is the only stable estimator here.
+    def bestOf3(f: => Long): (Double, Long) =
+      (1 to 3).map(_ => time(f)).minBy(_._1)
+
+    val (tExtract, nDocs) = bestOf3 {
       pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir)).count()
     }
     out += ("extract_pipeline" -> tExtract)
     // steady-state docs/sec: 16x replicated corpus amortizes job overhead
-    val (tBig, nBig) = time {
+    val (tBig, nBig) = bestOf3 {
       pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate = 16)).count()
     }
     out += ("extract_pipeline_16x" -> tBig)
-    val (tSalted, _) = time {
-      pipeline.Pipeline.extractSalted(gen.Corpus.corpus(spark, sfDir), 256).count()
+    val (tSalted, _) = bestOf3 {
+      try pipeline.Pipeline.extractSalted(gen.Corpus.corpus(spark, sfDir), 256).count()
+      finally spark.catalog.clearCache()
     }
     out += ("extract_salted" -> tSalted)
     for (q <- Seq("a01_pricing", "j02_spatial_argmax", "d03_minhash_sig",

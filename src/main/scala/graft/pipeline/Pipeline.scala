@@ -43,27 +43,30 @@ object Pipeline {
     spark.sparkContext.longAccumulator("graft.docs_err"),
     spark.sparkContext.longAccumulator("graft.spans_seen"))
 
+  /** Per-doc extraction with the soft-fail envelope (shared by the direct
+    * and salted paths so their small-doc semantics are identical). */
+  private def extractOne(doc: Doc, pid: Int, metrics: Option[Metrics]): ExtractedDoc =
+    try {
+      val row = Extract.extractDoc(doc)
+      metrics.foreach { m => m.docsOk.add(1); m.spansSeen.add(doc.spans.size) }
+      ExtractedDoc(row, "ok", "", pid, doc.spans.size,
+        Rules.opHash(doc.doc_id, "extract", doc.doc_id, row.contract_number))
+    } catch {
+      case e: Exception =>
+        metrics.foreach(_.docsErr.add(1))
+        val nSpans = if (doc.spans == null) 0 else doc.spans.size
+        ExtractedDoc(emptyRow(doc.doc_id), "error",
+          String.valueOf(e.getMessage), pid, nSpans,
+          Rules.opHash(doc.doc_id, "error", doc.doc_id, ""))
+    }
+
   /** Direct path: one narrow mapPartitions, soft-fail per doc. */
   def extract(docs: Dataset[Doc], metrics: Option[Metrics] = None): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      it.map { doc =>
-        try {
-          val row = Extract.extractDoc(doc)
-          metrics.foreach { m => m.docsOk.add(1); m.spansSeen.add(doc.spans.size) }
-          ExtractedDoc(row, "ok", "", pid, doc.spans.size,
-            Rules.opHash(doc.doc_id, "extract", doc.doc_id, row.contract_number))
-        } catch {
-          case e: Exception =>
-            metrics.foreach(_.docsErr.add(1))
-            val nSpans = if (doc.spans == null) 0 else doc.spans.size
-            ExtractedDoc(emptyRow(doc.doc_id), "error",
-              String.valueOf(e.getMessage), pid, nSpans,
-              Rules.opHash(doc.doc_id, "error", doc.doc_id, ""))
-        }
-      }
+      it.map(doc => extractOne(doc, pid, metrics))
     }
   }
 
@@ -80,22 +83,32 @@ object Pipeline {
   def extractSalted(docs: Dataset[Doc], chunkSize: Int = 256): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE upstream pass: the small/big branches are two consumers of the
-    // same dataset, and Spark does not share subplans across union branches
-    // — without a persist each branch replays the full input lineage
-    // (synth + scan), which cost 27x the direct path in BENCH_r01. The
-    // cache is unpersisted by the ContextCleaner when the dataset is GC'd;
-    // at cluster scale the same split would read a checkpointed table.
-    val sized = docs
-      .map(d => (d, if (d.spans == null) 0 else d.spans.size))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = sized.filter(_._2 <= chunkSize * 2).map(_._1)
-    val big = sized.filter(_._2 > chunkSize * 2).map(_._1)
-
-    val chunks: Dataset[(String, Int, Seq[Span])] = big.flatMap { d =>
-      d.spans.sortBy(_.offset).grouped(chunkSize).zipWithIndex
-        .map { case (c, i) => (d.doc_id, i, c) }
-    }
+    // ONE narrow upstream pass: small docs are fully extracted inline
+    // (exactly the direct path's per-doc work) and mega docs emit span
+    // chunks. The small/big branches are two consumers of this dataset and
+    // Spark does not share subplans across union branches, so it IS
+    // persisted — but because extraction already happened, the cache holds
+    // only finished rows + the ~1% skew-tail chunks, not the corpus
+    // (caching the raw corpus cost 15-27x the direct path in r1/r2 probes).
+    // The ContextCleaner unpersists it when the dataset is GC'd; at
+    // cluster scale this intermediate would be a checkpointed table.
+    val tagged = docs.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.flatMap { d =>
+        val n = if (d.spans == null) 0 else d.spans.size
+        if (n <= chunkSize * 2)
+          Iterator((Option(extractOne(d, pid, None)), Option.empty[(String, Int, Seq[Span])]))
+        else
+          d.spans.sortBy(_.offset).grouped(chunkSize).zipWithIndex
+            .map { case (c, i) => (Option.empty[ExtractedDoc], Option((d.doc_id, i, c))) }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache ONCE before the union consumes it: the two
+    // branches otherwise race-compute the same uncached partitions inside
+    // one job (per-partition work duplicated, ~2x the narrow pass)
+    tagged.foreachPartition((_: Iterator[_]) => ())
+    val small: Dataset[ExtractedDoc] = tagged.flatMap(_._1)
+    val chunks: Dataset[(String, Int, Seq[Span])] = tagged.flatMap(_._2)
     // salt: hash-partition on (doc_id, chunk_idx) so chunks of one mega
     // doc land on different executors. Per-chunk soft-fail mirrors the
     // direct path: one corrupt mega-doc becomes a status='error' row, it
@@ -129,7 +142,7 @@ object Pipeline {
               Rules.opHash(id, "error", id, ""))
         }
       }
-    extract(small).unionByName(merged)
+    small.unionByName(merged)
   }
 
   /** Lineage table (SNK7 / north rule) as a PROJECTION of extraction
