@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{ExtractQueries, RelationalQueries, SinkQueries, TrainingQueries}
+import graft.queries.{ExtractQueries, RelationalQueries, SinkQueries, TrainingQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     "supplier", "part", "nation", "region", "events", "embeddings")
 
   private val shared: Map[String, (String, String)] =
-    ExtractQueries.all ++ RelationalQueries.all ++ TrainingQueries.all ++ SinkQueries.all
+    ExtractQueries.all ++ RelationalQueries.all ++ TrainingQueries.all ++
+      SinkQueries.all ++ ValidationQueries.all
 
   /** Register the parquet tables a query mentions and run its Spark SQL.
     * escapedStringLiterals makes Spark read regex literals verbatim, the
@@ -126,6 +127,23 @@ object SparkEntry {
         Map("en" -> 0.3, "es" -> 0.6, "de" -> 0.6, "fr" -> 0.6, "zh" -> 0.6),
         42L).select("doc_id", "lang").orderBy("doc_id")
     }),
+    // SNK9 — schema export (validation/schema.py:64-100): the engine's
+    // model schemas as (model, pos, field, sql_type, nullable) rows,
+    // derived from the LIVE encoders so any model drift breaks the golden
+    // oracle (a literal VALUES table in oracleSql).
+    "v04_schema_export" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val models = Seq(
+        "contract" -> Encoders.product[graft.model.ContractRow].schema,
+        "lineage" -> Encoders.product[graft.model.LineageRec].schema,
+        "span" -> Encoders.product[graft.model.Span].schema)
+      models.flatMap { case (m, sch) =>
+        sch.fields.zipWithIndex.map { case (f, i) =>
+          (m, i, f.name, f.dataType.simpleString, if (f.nullable) 1 else 0)
+        }
+      }.toDF("model", "pos", "field", "sql_type", "nullable")
+        .orderBy("model", "pos")
+    }),
     "x09_boiler_strip" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       gen.Corpus.corpus(s, dir).map { d =>
@@ -143,8 +161,34 @@ object SparkEntry {
       name -> ((s: SparkSession, dir: String) => runShared(sparkSql)(s, dir))
     } ++ pipelineQueries
 
+  /** Hand-pinned golden for v04_schema_export (SNK9): if a model field is
+    * added/renamed/retyped, the live-encoder dump stops matching this
+    * literal and the driver flags it. */
+  private val SchemaExportOracle: String = {
+    val rows = Seq(
+      ("contract", Seq(("doc_id", "string", 1), ("title", "string", 1),
+        ("contract_number", "string", 1), ("currency", "string", 1),
+        ("total_value", "double", 1), ("effective_date", "string", 1),
+        ("expiration_date", "string", 1), ("client_name", "string", 1),
+        ("vendor_name", "string", 1), ("contract_type", "string", 1),
+        ("emails", "array<string>", 1), ("cnpj_cpf", "array<string>", 1),
+        ("table_count", "int", 0), ("key_clauses", "array<string>", 1),
+        ("n_sections", "int", 0), ("confidence", "double", 0))),
+      ("lineage", Seq(("doc_id", "string", 1), ("partition_id", "int", 0),
+        ("stage", "string", 1), ("status", "string", 1),
+        ("op_hash", "string", 1), ("snapshot_id", "string", 1),
+        ("ts", "bigint", 0))),
+      ("span", Seq(("kind", "string", 1), ("text", "string", 1),
+        ("media_ref", "string", 1), ("offset", "int", 0))))
+    val values = rows.flatMap { case (m, fs) =>
+      fs.zipWithIndex.map { case ((n, t, nul), i) => s"('$m', $i, '$n', '$t', $nul)" }
+    }.mkString(", ")
+    s"SELECT * FROM (VALUES $values) AS t(model, pos, field, sql_type, nullable) ORDER BY model, pos"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    shared.map { case (name, (_, duckSql)) => name -> duckSql }
+    shared.map { case (name, (_, duckSql)) => name -> duckSql } +
+      ("v04_schema_export" -> SchemaExportOracle)
 }

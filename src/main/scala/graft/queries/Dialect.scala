@@ -57,6 +57,13 @@ final case class D(isSpark: Boolean) {
   /** CJK Han block char-class regex — literal chars, identical in both
     * engines (avoids \u vs \x{} escape-syntax divergence). */
   def hanClass: String = "[" + 0x4e00.toChar + "-" + 0x9fff.toChar + "]"
+  /** drop empty strings from a literal list and join with sep — the
+    * validation-error rendering (DuckDB array_to_string is NULL on empty). */
+  def joinNonEmpty(items: Seq[String], sep: String): String =
+    if (isSpark)
+      s"array_join(filter(array(${items.mkString(", ")}), x -> x <> ''), '$sep')"
+    else
+      s"coalesce(array_to_string(list_filter([${items.mkString(", ")}], x -> x <> ''), '$sep'), '')"
 }
 
 object Dialect {

@@ -138,12 +138,25 @@ object ExtractQueries {
       s"SELECT doc_id, ${d.size(lines)} AS table_lines, CASE WHEN $hdr > 0 THEN true ELSE false END AS has_headers ${src()} ORDER BY doc_id"
     },
 
-    // P11 — key-clause flags (three of the 23 headers; substring semantics)
+    // P11 — key-clause flags over ALL 23 section headers
+    // (contract_parser.py:41-48; substring-of-lowered-content semantics).
+    // `clause_bits` packs the per-header flags in list order; `key_clauses`
+    // renders the present headers '; '-joined (the SNK4 list shape).
     "p11_clauses" -> q { d =>
+      val headers = Seq(
+        "vigência", "duração", "termo", "prazo", "expiração",
+        "rescisão", "terminação", "cancelamento",
+        "confidencialidade", "sigilo", "não divulgação",
+        "pagamentos", "pagamento", "valor", "preço", "compensação",
+        "obrigações", "responsabilidades", "deveres",
+        "foro", "jurisdição", "lei aplicável", "disputas")
+      val bits = headers.map(h =>
+        s"CASE WHEN lower(ctext) LIKE '%$h%' THEN '1' ELSE '0' END")
+      val present = headers.map(h =>
+        s"CASE WHEN lower(ctext) LIKE '%$h%' THEN '$h' ELSE '' END")
       s"""SELECT doc_id,
-         | CASE WHEN lower(ctext) LIKE '%vigência%' THEN 1 ELSE 0 END AS has_vigencia,
-         | CASE WHEN lower(ctext) LIKE '%pagamento%' THEN 1 ELSE 0 END AS has_pagamento,
-         | CASE WHEN lower(ctext) LIKE '%confidencialidade%' THEN 1 ELSE 0 END AS has_confidencialidade
+         | ${bits.mkString(" || ")} AS clause_bits,
+         | ${d.joinNonEmpty(present, "; ")} AS key_clauses
          | ${src()} ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
