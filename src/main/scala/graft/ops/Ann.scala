@@ -61,11 +61,17 @@ object Ann {
     embeddings.withColumn("bucket", bucketOf(col(vecCol)))
   }
 
-  /** LSH top-k: restrict the cosine scan to the query's bucket. Falls back
-    * to a hamming-1 neighborhood if the bucket is sparse at higher bit
-    * counts (not needed at the test sizes). */
+  /** LSH top-k: restrict the cosine scan to the query's bucket PLUS its
+    * hamming-1 multiprobe neighborhood (`probeHamming = 1`, the default).
+    * A true near-neighbor sits on the wrong side of one hyperplane with
+    * probability ~theta/pi per plane, so single-bucket recall collapses as
+    * nBits grows; probing the nBits+1 buckets within hamming distance 1
+    * restores recall while still scanning only (nBits+1)/2^nBits of the
+    * corpus. Probe set is computed driver-side (nBits+1 longs, broadcast
+    * as an isin filter — no join, no shuffle). */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, nBits: Int = 8): DataFrame = {
+              query: Array[Float], k: Int, nBits: Int = 8,
+              probeHamming: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = query.length
@@ -78,9 +84,12 @@ object Ann {
       }
       b
     }
+    val probes: Seq[Long] =
+      if (probeHamming <= 0) Seq(qBucket)
+      else qBucket +: (0 until nBits).map(i => qBucket ^ (1L << i))
     val bucketed = withBucket(embeddings, vecCol, planes)
     val q = Seq(Tuple1(query.toSeq)).toDF("qe")
-    bucketed.filter(col("bucket") === qBucket)
+    bucketed.filter(col("bucket").isin(probes: _*))
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", expr(cosExpr(vecCol, "qe")))
       .select(col(idCol), col("cos_sim"))

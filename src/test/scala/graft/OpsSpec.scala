@@ -67,6 +67,50 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.forall(bruteSet.contains) || lsh.length < 10)
   }
 
+  test("ANN multiprobe: recall >= 0.9 vs brute force at nBits=8 on planted neighbors") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    // 10 planted near-neighbors: query + small deterministic noise
+    val planted = (1L to 10L).map { p =>
+      (p, qv.zipWithIndex.map { case (x, i) =>
+        x + (mix(p * 131 + i) % 100) / 4000.0f
+      }.toSeq)
+    }
+    val randoms = (11L to 510L).map(p => (p, rand(p).toSeq))
+    val emb = (planted ++ randoms).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute == (1L to 10L).toSet, "planted neighbors must be the brute-force top-10")
+    val multi = Ann.lshTopK(emb, "vec_id", "embedding", qv, 10, nBits = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(multi).size / 10.0
+    assert(recall >= 0.9, s"multiprobe recall $recall < 0.9 (got ${multi.toSeq.sorted})")
+    // multiprobe scans a superset of the single bucket, so its recall
+    // can only be >= the single-bucket recall
+    val single = Ann.lshTopK(emb, "vec_id", "embedding", qv, 10, nBits = 8,
+      probeHamming = 0).collect().map(_.getLong(0)).toSet
+    assert(brute.intersect(single).size <= brute.intersect(multi).size)
+  }
+
+  test("simhash: degenerate buckets capped, loose maxDist rejected") {
+    import spark.implicits._
+    // 60 identical docs -> one viral bucket; cap must drop it entirely
+    val viral = (1L to 60L).map(i => (i, "same words everywhere always"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(viral, "doc_id", "text", maxDist = 3, maxBucket = 50)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashPairs(viral, "doc_id", "text", maxDist = 3, maxBucket = 100)
+    assert(uncapped.count() == 60L * 59 / 2)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(viral, "doc_id", "text", maxDist = 12)
+    }
+  }
+
   test("media plumbing: binary payloads, decode metadata, features, frames") {
     val corpus = gen.Corpus.corpus(spark, sf)
     val media = Media.mediaTable(corpus).cache()
