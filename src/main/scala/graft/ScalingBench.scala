@@ -28,14 +28,16 @@ object ScalingBench {
     // wall times on this VM vary ±30% run-to-run (measured), so min is
     // the least-contended sample and the only stable estimator here
     pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
-    var best = Double.MaxValue
     var n = 0L
-    for (_ <- 1 to 3) {
+    val passes = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       n = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate)).count()
-      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
-    println(f"""{"cores":$cores,"wall_sec":$best%.3f,"docs":$n,"docs_per_sec":${n / best}%.1f}""")
+    val best = passes.min
+    val median = passes.sorted.apply(1)
+    val passJson = passes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    println(f"""{"cores":$cores,"wall_sec":$best%.3f,"median_sec":$median%.3f,"docs":$n,"docs_per_sec":${n / best}%.1f,"median_docs_per_sec":${n / median}%.1f,"pass_secs":$passJson}""")
   }
 }

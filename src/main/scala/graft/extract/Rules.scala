@@ -32,44 +32,53 @@ import graft.model.{DateHit, Entity, Span}
   */
 object Rules {
 
+  /** Compile a pattern ported from Python `re` with Python's semantics:
+    * Unicode \w/\b/\s/\d and Unicode case folding for (?i). Java defaults
+    * are ASCII-only for both, which diverges on accented pt-BR input —
+    * '(?i)número' must match 'NÚMERO', and 'José@mail.com' must NOT yield
+    * an email ('é' is a word char, so there is no \b before 's'). Goldens
+    * captured from the live reference parser in RulesSpec. */
+  private def pyre(p: String): Pattern =
+    Pattern.compile(p, Pattern.UNICODE_CHARACTER_CLASS)
+
   // ---- precompiled patterns (services/contract_parser.py:27-37,115-187) ----
-  private val TitleP = Pattern.compile("(?m)^#{1,2}\\s+(.+)$")
-  private val ContractNumP = Pattern.compile(
+  private val TitleP = pyre("(?m)^#{1,2}\\s+(.+)$")
+  private val ContractNumP = pyre(
     "(?i)(?:contract\\s+number|número\\s+do\\s+contrato|ref|reference)[\\s:]*([A-Z0-9\\-_/]+)")
   private val BoldContractNumP =
-    Pattern.compile("\\*\\*Contract Number:\\*\\*\\s*([A-Z0-9\\-_/]+)")
-  private val CurrencyP = Pattern.compile("(?i)(R\\$|US\\$|USD|BRL|EUR|€|£)")
-  private val AmountP = Pattern.compile(
+    pyre("\\*\\*Contract Number:\\*\\*\\s*([A-Z0-9\\-_/]+)")
+  private val CurrencyP = pyre("(?i)(R\\$|US\\$|USD|BRL|EUR|€|£)")
+  private val AmountP = pyre(
     "(?i)(?:valor|value|amount|total)[\\s:]*([R$US$USD€£]?\\s*[\\d,]+\\.?\\d*)")
-  private val BoldAmountP = Pattern.compile(
+  private val BoldAmountP = pyre(
     "\\*\\*Total Value:\\*\\*\\s*([R$US$USD€£]?\\s*[\\d,]+\\.?\\d*)")
-  private val EmailP = Pattern.compile(
+  private val EmailP = pyre(
     "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b")
-  private val CnpjCpfP = Pattern.compile(
+  private val CnpjCpfP = pyre(
     "(?:\\d{2}\\.\\d{3}\\.\\d{3}/\\d{4}-\\d{2}|\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2})")
-  private val DateDmyP = Pattern.compile("(?i)(\\d{1,2})/(\\d{1,2})/(\\d{4})")
-  private val DateYmdP = Pattern.compile("(?i)(\\d{4})-(\\d{1,2})-(\\d{1,2})")
+  private val DateDmyP = pyre("(?i)(\\d{1,2})/(\\d{1,2})/(\\d{4})")
+  private val DateYmdP = pyre("(?i)(\\d{4})-(\\d{1,2})-(\\d{1,2})")
   private val BoldEffectiveP =
-    Pattern.compile("\\*\\*Effective Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+    pyre("\\*\\*Effective Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
   private val BoldExpirationP =
-    Pattern.compile("\\*\\*Expiration Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
-  private val BoldClientP = Pattern.compile("\\*\\*Client:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
-  private val BoldVendorP = Pattern.compile("\\*\\*Vendor:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
+    pyre("\\*\\*Expiration Date:\\*\\*\\s*(\\d{1,2}/\\d{1,2}/\\d{4})")
+  private val BoldClientP = pyre("\\*\\*Client:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
+  private val BoldVendorP = pyre("\\*\\*Vendor:\\*\\*\\s*([A-Z][A-Za-z\\s&\\.]+)")
   private val ClientPs = Seq(
     "(?i)(?:cliente|client|contratante|buyer)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)",
     "(?i)(?:empresa|company|corporation)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$)"
-  ).map(Pattern.compile)
+  ).map(pyre)
   private val VendorPs = Seq(
     "(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)",
     "(?i)(?:prestador|provider|contractor)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?=\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$)"
-  ).map(Pattern.compile)
-  private val TableLineP = Pattern.compile("(?m)^\\|.*\\|$")
+  ).map(pyre)
+  private val TableLineP = pyre("(?m)^\\|.*\\|$")
   // Python's broken `^#{1,2,3}\s+(.+)$` == literal "#{1,2,3}" prefix:
-  private val BrokenHeaderP = Pattern.compile("^#\\{1,2,3\\}\\s+(.+)$")
-  private val BoldSectionP = Pattern.compile("\\*\\*([^*]+):\\*\\*([^*\\n]*)")
-  private val AmountStripP = Pattern.compile("[R$US$USD€£\\s]")
-  private val YearP = Pattern.compile("\\b(19|20)\\d{2}\\b")
-  private val EntityAmountKeepP = Pattern.compile("[^Vdt .,]+")
+  private val BrokenHeaderP = pyre("^#\\{1,2,3\\}\\s+(.+)$")
+  private val BoldSectionP = pyre("\\*\\*([^*]+):\\*\\*([^*\\n]*)")
+  private val AmountStripP = pyre("[R$US$USD€£\\s]")
+  private val YearP = pyre("\\b(19|20)\\d{2}\\b")
+  private val EntityAmountKeepP = pyre("[^Vdt .,]+")
 
   /** services/contract_parser.py:41-48 — order matters for key_clauses. */
   val SectionHeaders: Seq[String] = Seq(
@@ -103,15 +112,11 @@ object Rules {
   def currency(content: String): Option[String] = firstMatch(CurrencyP, content)
 
   /** P4 — amount parse with the reference's exact char-strip + locale
-    * normalization quirks (:467-483). */
-  def parseAmount(amountStr: String): Option[Double] = {
-    var clean = AmountStripP.matcher(amountStr).replaceAll("")
-    if (clean.contains(",") && clean.contains("."))
-      clean = clean.replace(".", "").replace(",", ".")   // 150.000,00 -> 150000.00
-    else if (clean.contains(","))
-      clean = clean.replace(",", ".")                    // 25,5 -> 25.5
-    try Some(clean.toDouble) catch { case _: NumberFormatException => None }
-  }
+    * normalization quirks (:467-483). Delegates to the single
+    * AmountParser implementation (char strip, locale swap, Python-float
+    * literal validation) shared with the native Catalyst expression. */
+  def parseAmount(amountStr: String): Option[Double] =
+    Option(graft.functions.AmountParser.parseBoxed(amountStr)).map(_.doubleValue)
 
   /** Markdown metadata amount flow (:133-148): amount only sought when a
     * currency matched; bold total-value fallback when absent/unparseable. */
@@ -369,8 +374,14 @@ object Rules {
     "EFFECTIVE_DATE", "EXPIRATION_DATE")
 
   /** P17 — entity-text normalization (:386-407), including the reference's
-    * digit-stripping AMOUNT mangle. Date normalization restricted to the
-    * formats the tests pin (ISO + M/d/yyyy, dateutil's default US order). */
+    * digit-stripping AMOUNT mangle. Date normalization mirrors
+    * dateutil.parse on COMPLETE dates (goldens captured from the live
+    * library): month-first numeric with the day-first fallback when the
+    * first number exceeds 12, 2-digit years on a ±50 window, yyyy/M/d,
+    * month-name forms. Incomplete dates ('march 2024', '2024') are
+    * intentionally NOT normalized: dateutil fills the missing fields from
+    * the WALL CLOCK — non-deterministic in the reference itself, excluded
+    * per SURVEY §7.4.5. */
   def normalizeEntity(entityType: String, rawText: String): String = {
     val text = lower(rawText).trim
     if (DateTypes.contains(entityType)) {
@@ -383,17 +394,61 @@ object Rules {
     } else text
   }
 
+  private val MonthMap: Map[String, Int] = {
+    val full = IndexedSeq("january", "february", "march", "april", "may",
+      "june", "july", "august", "september", "october", "november", "december")
+    (full.zipWithIndex.map { case (n, i) => n -> (i + 1) } ++
+      full.zipWithIndex.map { case (n, i) => n.take(3) -> (i + 1) }).toMap
+  }
+  // dateutil-shaped complete-date forms (input is already lowercased)
+  private val NumYmdP2 = pyre("(\\d{4})[/-](\\d{1,2})[/-](\\d{1,2})")
+  private val NumMdy4P = pyre("(\\d{1,2})[/-](\\d{1,2})[/-](\\d{4})")
+  private val NumMdy2P = pyre("(\\d{1,2})[/-](\\d{1,2})[/-](\\d{2})")
+  private val NameMdyP = pyre("([a-z]+)\\.?\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{4})")
+  private val NameDmyP = pyre("(\\d{1,2})(?:st|nd|rd|th)?\\s+(?:of\\s+)?([a-z]+)\\.?,?\\s+(\\d{4})")
+
+  private def validDate(y: Int, m: Int, d: Int): Option[String] =
+    try Some(java.time.LocalDate.of(y, m, d).toString)
+    catch { case _: java.time.DateTimeException => None }
+
+  /** dateutil numeric resolution: month-first, day-first fallback only
+    * when the month slot is impossible ('15/01/2024' -> 2024-01-15,
+    * '31/04/2024' -> fail like the library). */
+  private def monthFirst(y: Int, a: Int, b: Int): Option[String] =
+    if (a <= 12) validDate(y, a, b) else validDate(y, b, a)
+
+  /** dateutil 2-digit year: current century, folded into the ±50 window
+    * around the anchor year. The library anchors on the WALL CLOCK; we pin
+    * the anchor (2026, capture date of the goldens) for determinism. */
+  private def expandYear(yy: Int): Int = {
+    val anchor = 2026
+    val y = yy + 2000
+    if (math.abs(y - anchor) < 50) y
+    else if (y < anchor) y + 100 else y - 100
+  }
+
   private def parseDateLoose(s: String): Option[String] = {
     val iso = DateYmdP.matcher(s)
     if (iso.matches())
-      return try Some(java.time.LocalDate.of(iso.group(1).toInt,
-        iso.group(2).toInt, iso.group(3).toInt).toString)
-      catch { case _: java.time.DateTimeException => None }
-    val us = DateDmyP.matcher(s)   // dateutil default: month first
-    if (us.matches())
-      return try Some(java.time.LocalDate.of(us.group(3).toInt,
-        us.group(1).toInt, us.group(2).toInt).toString)
-      catch { case _: java.time.DateTimeException => None }
+      return validDate(iso.group(1).toInt, iso.group(2).toInt, iso.group(3).toInt)
+    val ymd = NumYmdP2.matcher(s)
+    if (ymd.matches())
+      return validDate(ymd.group(1).toInt, ymd.group(2).toInt, ymd.group(3).toInt)
+    val mdy = NumMdy4P.matcher(s)
+    if (mdy.matches())
+      return monthFirst(mdy.group(3).toInt, mdy.group(1).toInt, mdy.group(2).toInt)
+    val mdy2 = NumMdy2P.matcher(s)
+    if (mdy2.matches())
+      return monthFirst(expandYear(mdy2.group(3).toInt),
+        mdy2.group(1).toInt, mdy2.group(2).toInt)
+    val nmd = NameMdyP.matcher(s)
+    if (nmd.matches())
+      return MonthMap.get(nmd.group(1))
+        .flatMap(m => validDate(nmd.group(3).toInt, m, nmd.group(2).toInt))
+    val ndm = NameDmyP.matcher(s)
+    if (ndm.matches())
+      return MonthMap.get(ndm.group(2))
+        .flatMap(m => validDate(ndm.group(3).toInt, m, ndm.group(1).toInt))
     None
   }
 
@@ -510,8 +565,8 @@ object Rules {
   }
 
   // ---- P22 table-cell text cleanup (services/table_processor_fixed.py) ----
-  private val DotLeaderP1 = Pattern.compile("(\\s\\.){2,}")
-  private val DotLeaderP2 = Pattern.compile("\\.{2,}")
+  private val DotLeaderP1 = pyre("(\\s\\.){2,}")
+  private val DotLeaderP2 = pyre("\\.{2,}")
 
   /** Finalize one cell line (:394-415): drop "."/empty, strip dot leaders,
     * normalize the 4 listed unicode spaces (:417-435). ftfy.fix_text is

@@ -13,7 +13,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * tests, and Rules. Kept as a static-shaped object so generated Java can
   * call it directly. */
 object AmountParser {
-  private val Strip = java.util.regex.Pattern.compile("[R$US$USD€£\\s]")
+  // \s is Unicode here like Python's re (the reference strips NBSP too)
+  private val Strip = java.util.regex.Pattern.compile(
+    "[R$US$USD€£\\s]", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Python float() literal grammar (sign, digitparts with single
+    * underscores between digits, optional fraction/exponent, inf/nan).
+    * Java's Double.valueOf alone accepts inputs Python rejects ('1d',
+    * '1f', hex-floats '0x1p3') and rejects '1_000' which Python accepts —
+    * the SQL-exposed parse_amount must diverge from the reference on
+    * neither. (Python also folds Unicode decimal digits; out of scope —
+    * the reference's amount regex only ever captures ASCII digits.) */
+  private val PyFloat = java.util.regex.Pattern.compile(
+    "(?i)[+-]?(?:inf(?:inity)?|nan|(?:\\d(?:_?\\d)*(?:\\.(?:\\d(?:_?\\d)*)?)?|\\.\\d(?:_?\\d)*)(?:e[+-]?\\d(?:_?\\d)*)?)")
+
+  /** float(clean) with CPython semantics; null = ValueError. */
+  private def pyFloat(s: String): java.lang.Double =
+    if (!PyFloat.matcher(s).matches()) null
+    else {
+      val neg = s.startsWith("-")
+      val body = (if (s.startsWith("+") || neg) s.substring(1) else s)
+        .toLowerCase(java.util.Locale.ROOT)
+      if (body == "inf" || body == "infinity")
+        java.lang.Double.valueOf(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+      else if (body == "nan") java.lang.Double.valueOf(Double.NaN)
+      else java.lang.Double.valueOf((if (neg) "-" else "") + body.replace("_", ""))
+    }
 
   /** Boxed result: null = unparseable (Python except-path). */
   def parseBoxed(s: String): java.lang.Double = {
@@ -22,8 +47,7 @@ object AmountParser {
       clean = clean.replace(".", "").replace(",", ".")
     else if (clean.indexOf(',') >= 0)
       clean = clean.replace(",", ".")
-    try java.lang.Double.valueOf(clean)
-    catch { case _: NumberFormatException => null }
+    pyFloat(clean)
   }
 }
 

@@ -40,6 +40,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pq.where(col("v").isNull).count() == 0)
   }
 
+  test("Python float() parity on edge literals (live-ref _parse_amount goldens)") {
+    import graft.functions.AmountParser.parseBoxed
+    // captured from the running reference: _parse_amount('1d') -> None,
+    // '0x1p3' -> None (Java Double.valueOf would accept both), '1_000' ->
+    // 1000.0 (Java would reject), 'Infinity' -> inf, 'NaN' -> nan
+    assert(parseBoxed("1d") == null)
+    assert(parseBoxed("1f") == null)
+    assert(parseBoxed("0x1p3") == null)
+    assert(parseBoxed("1_000") == 1000.0)
+    assert(parseBoxed("Infinity") == Double.PositiveInfinity)
+    assert(parseBoxed("NaN").isNaN)
+    assert(parseBoxed("1.") == 1.0)
+    assert(parseBoxed(".5") == 0.5)
+    assert(parseBoxed("1e3") == 1000.0)
+    assert(parseBoxed("1,2,3") == null)
+    assert(parseBoxed("") == null)
+    assert(parseBoxed("150.000,00") == 150000.0)
+    assert(parseBoxed("US$ 50,000.00") == 50.0) // the pinned reference quirk
+  }
+
   test("null input -> null output") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("25,5")).toDF("s")

@@ -250,6 +250,41 @@ All information shared is confidential.
     assert(h == Rules.opHash("2025-08-19T16:53:51", "rename", "/a.pdf", "/b.pdf"))
   }
 
+  test("Unicode regex parity: accented input behaves like Python re (live-ref goldens)") {
+    // Goldens captured by RUNNING the reference parser (contract_parser.py
+    // patterns :27-37) on non-ASCII input — Python (?i) folds Unicode and
+    // \b/\w are Unicode classes:
+    //   'NÚMERO DO CONTRATO: ABC-123'      -> contract_number 'ABC-123'
+    //   'contact José@mail.com now x@y.com' -> emails ['x@y.com'] (é is a
+    //     word char: no \b before 's', and 'José' itself can't match)
+    //   'contact maría.lopez@mail.com now'  -> ['.lopez@mail.com']
+    assert(Rules.contractNumberPlain("NÚMERO DO CONTRATO: ABC-123") == Some("ABC-123"))
+    assert(Rules.emails("contact José@mail.com now x@y.com") == Seq("x@y.com"))
+    assert(Rules.emails("contact maría.lopez@mail.com now") == Seq(".lopez@mail.com"))
+  }
+
+  test("P17 date normalization: dateutil goldens on complete dates") {
+    def n(s: String) = Rules.normalizeEntity("START_DATE", s)
+    // captured from dateutil.parse(...).strftime('%Y-%m-%d')
+    assert(n("15/01/2024") == "2024-01-15")   // day-first fallback (15 > 12)
+    assert(n("01/05/2024") == "2024-01-05")   // month-first default
+    assert(n("13-05-2024") == "2024-05-13")
+    assert(n("January 5, 2024") == "2024-01-05")
+    assert(n("jan. 5 2024") == "2024-01-05")
+    assert(n("5 january 2024") == "2024-01-05")
+    assert(n("5th of january 2024") == "2024-01-05")
+    assert(n("2024/01/05") == "2024-01-05")
+    assert(n("01/05/24") == "2024-01-05")     // 2-digit year, +/-50 window
+    assert(n("01/05/99") == "1999-01-05")
+    assert(n("31/04/2024") == "31/04/2024")   // invalid like the library
+    assert(n("29/02/2023") == "29/02/2023")
+    assert(n("29/02/2024") == "2024-02-29")
+    // incomplete dates stay raw: dateutil fills them from the wall clock
+    // (non-deterministic in the reference itself; documented restriction)
+    assert(n("march 2024") == "march 2024")
+    assert(n("2024") == "2024")
+  }
+
   test("P26 boilerplate densities") {
     val nav = """<div class="nav"><a href="/h">Home</a> <a href="/c">Contracts</a> <a href="/a">About</a></div>"""
     val content = """<div class="main"><p>Execution terms for this contract follow the master schedule and annexes described in the document body at length.</p></div>"""

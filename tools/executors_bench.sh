@@ -3,8 +3,10 @@
 # "4N executors" is 4x separate executor JVMs, not 4x threads in one heap.
 # N = one local[8] executor JVM; 4N = FOUR concurrent local[8] executor
 # JVMs over disjoint quarters of the same input (each JVM has its own heap
-# and GC, like real executors). Aggregate throughput = total docs / max
-# wall. Writes/append results for BENCH/BASELINE.md.
+# and GC, like real executors). Efficiency is reported from BOTH the
+# per-JVM min-of-3 (least-contended sample) and the per-JVM median-of-3
+# (robust to JVMs drifting out of phase and landing a min in a
+# low-contention window). Writes/append results for BENCH/BASELINE.md.
 #
 # Usage: tools/executors_bench.sh [sfDir] [replicatePerJvm]
 set -e
@@ -38,16 +40,26 @@ import json, sys
 t0, t1 = float(sys.argv[1]), float(sys.argv[2])
 n = json.load(open('/tmp/ex_n.json'))
 four = [json.load(open(f'/tmp/ex_4n_{i}.json')) for i in (1, 2, 3, 4)]
-# each JVM reports min-of-3 timed passes after warmup; the concurrent
-# aggregate uses the per-JVM throughputs (all four ran simultaneously,
-# so their timed passes overlapped under full 4-JVM contention)
-agg = sum(s['docs_per_sec'] for s in four)
-eff = agg / (4 * n['docs_per_sec'])
-print(f"N(one executor): {n['docs_per_sec']:.0f} docs/s")
-print(f"4N(four executors, concurrent): {agg:.0f} docs/s aggregate")
-print(f"executors_scaling_efficiency={eff:.3f}")
-json.dump({'n_docs_per_sec': n['docs_per_sec'], 'agg4_docs_per_sec': agg,
-           'efficiency': eff,
-           'four': [s['docs_per_sec'] for s in four]},
+# two estimators per JVM (warmup, then 3 timed passes, all four JVMs
+# running simultaneously):
+#  - min-of-3: the least-contended sample — can overstate efficiency if a
+#    JVM's fastest pass lands in a window where the other JVMs idle
+#  - median-of-3: robust to that phase drift; the honest headline number
+agg_min = sum(s['docs_per_sec'] for s in four)
+agg_med = sum(s.get('median_docs_per_sec', s['docs_per_sec']) for s in four)
+n_min = n['docs_per_sec']
+n_med = n.get('median_docs_per_sec', n_min)
+eff_min = agg_min / (4 * n_min)
+eff_med = agg_med / (4 * n_med)
+print(f"N(one executor): {n_min:.0f} docs/s (median {n_med:.0f})")
+print(f"4N(four executors, concurrent): {agg_min:.0f} docs/s aggregate (median {agg_med:.0f})")
+print(f"4N window wall: {t1 - t0:.1f}s incl. startup+warmup (context only)")
+print(f"executors_scaling_efficiency_min={eff_min:.3f}")
+print(f"executors_scaling_efficiency_median={eff_med:.3f}")
+json.dump({'n_docs_per_sec': n_min, 'n_median_docs_per_sec': n_med,
+           'agg4_docs_per_sec': agg_min, 'agg4_median_docs_per_sec': agg_med,
+           'efficiency_min': eff_min, 'efficiency_median': eff_med,
+           'four': [s['docs_per_sec'] for s in four],
+           'four_median': [s.get('median_docs_per_sec') for s in four]},
           open('/tmp/ex_result.json', 'w'))
 EOF
