@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-regression guards on PHYSICAL PLAN SHAPE. Correctness gates can't
+  * catch a plan that silently degrades to an all-pairs or cartesian form at
+  * sf0.01 but dies at 10^12 docs — these tests pin the shapes the VERDICT
+  * r1 review flagged (d02 lang-only join, simhash 4-bit blocks) so they
+  * cannot come back. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("d02 jaccard: composite (lang, n_chars-band) equi-join, no cartesian") {
+    val p = plan("d02_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the n_chars band must be part of the hash-join equi key (both sides),
+    // not a post-join filter: the key list carries lang + bk columns
+    assert("(?s)HashJoin \\[lang#\\d+, bk#\\d+L?\\], \\[lang#\\d+, bk#\\d+L?\\]".r
+      .findFirstIn(p).isDefined || p.contains("SortMergeJoin [lang"), p.take(3000))
+  }
+
+  test("x06 simhash: block equi-join, no cartesian/nested-loop") {
+    val p = plan("x06_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("j04 dimension rollup: broadcast hash joins") {
+    val p = plan("j04_region_rollup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("j06 bbox argmax: partial (map-side) aggregation, line-cell equi-join on orderkey") {
+    val p = plan("j06_bbox_argmax")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // max(struct) is sort-aggregated (struct max is not hash-aggregable);
+    // the scale property is the PARTIAL aggregate before the exchange
+    assert(p.contains("partial_max(struct"), p.take(3000))
+    // lines join cells on the orderkey equi key (the 4x4 VALUES expansion
+    // may use a broadcast nested-loop: 16 literal rows, benign)
+    assert("HashJoin \\[l_orderkey#\\d+L\\], \\[c_orderkey#\\d+L\\]".r
+      .findFirstIn(p).isDefined || p.contains("SortMergeJoin [l_orderkey"), p.take(3000))
+  }
+
+  test("extraction: parquet scan prunes to (doc_id, text); only the seed repartition shuffles") {
+    val p = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the seed documents table also has lang/source/n_chars — they must
+    // NOT be read (column pruning reaches the parquet scan)
+    assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // exactly one Exchange: the deliberate small-seed RoundRobin fan-out
+    // (SURVEY: tiny-input/heavy-map shape); extraction itself is narrow
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("RoundRobinPartitioning"),
+      exchanges.mkString("\n"))
+  }
+
+  test("p01 shared-SQL extraction: scan reads only the needed columns") {
+    val p = plan("p01_title")
+    assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+}
