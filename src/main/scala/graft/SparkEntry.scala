@@ -100,6 +100,14 @@ object SparkEntry {
           array_join(transform(col("features"), f => round(f, 4).cast("string")), "; "))
         .orderBy("doc_id", "media_ref")
     }),
+    "x13_embed_neardup_lsh" -> ((s: SparkSession, dir: String) => {
+      // scale path for d06: LSH bucket equi-join + residual cosine filter
+      // (at 1 bit the two half-space buckets cover most pairs; higher
+      // nBits trades recall for selectivity — recall property in OpsSpec)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4, dim = 64, nBits = 1)
+        .orderBy("vec_a", "vec_b")
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

@@ -61,6 +61,32 @@ object Ann {
     embeddings.withColumn("bucket", bucketOf(col(vecCol)))
   }
 
+  /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from
+    * a hyperplane-LSH bucket equi-join (shuffle carries only (bucket, id,
+    * vector)), the exact cosine is the residual filter. A viral bucket is
+    * capped like the minhash/simhash paths — at 10^12 rows one degenerate
+    * bucket must not produce O(bucket^2) pairs. Recall vs the brute-force
+    * baseline (d06) is probabilistic by design: same-bucket probability is
+    * (1 - theta/pi)^nBits; identical/near-identical vectors always
+    * collide (tested on planted clones). */
+  def neardupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, dim: Int, nBits: Int = 8,
+                   maxBucket: Int = 10000): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val bucketed = withBucket(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("v")), "v", planes)
+    val bounded = bucketed
+      .withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", round(expr(cosExpr("a.v", "b.v")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos_sim"))
+  }
+
   /** LSH top-k: restrict the cosine scan to the query's bucket PLUS its
     * hamming-1 multiprobe neighborhood (`probeHamming = 1`, the default).
     * A true near-neighbor sits on the wrong side of one hyperplane with

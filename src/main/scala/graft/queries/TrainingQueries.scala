@@ -125,6 +125,25 @@ object TrainingQueries {
       s"SELECT doc_id, md5($norm) AS fingerprint FROM documents ORDER BY doc_id"
     },
 
+    // D6 — embedding-cosine near-dup pairs, brute-force all-pairs: the
+    // PARITY BASELINE by design (the scale path is the LSH-bucketed
+    // x13_embed_neardup_lsh, which must recall-match this on planted
+    // clones — OpsSpec). Threshold on the rounded value so the two
+    // engines' float sums cannot straddle the cut.
+    "d06_embed_neardup" -> q { d =>
+      val sim =
+        if (d.isSpark)
+          """(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (p, q) -> p + q)
+            | / (sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (p, q) -> p + q))
+            |  * sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (p, q) -> p + q))))"""
+            .stripMargin.replace("\n", " ")
+        else "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($sim, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round($sim, 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
+    },
+
     // V1 — brute-force cosine top-k against the vec_id=0 query embedding
     "v01_ann_topk" -> q { d =>
       val sim =

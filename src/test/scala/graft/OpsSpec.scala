@@ -97,6 +97,29 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.intersect(single).size <= brute.intersect(multi).size)
   }
 
+  test("embed near-dup: LSH pairs are a subset of brute force; planted clones always recalled") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 64
+    def rand(seed: Long): Seq[Float] =
+      Seq.tabulate(dim)(i => (mix(seed * 104729 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    // 5 planted clone pairs (identical vectors -> same bucket at ANY nBits)
+    val bases = (1L to 5L).map(i => (i, rand(i)))
+    val clones = bases.map { case (i, v) => (i + 1000L, v) }
+    val noise = (11L to 200L).map(i => (i, rand(i)))
+    val emb = (bases ++ clones ++ noise).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val lsh = ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.99, dim, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bases.foreach { case (i, _) =>
+      assert(lsh.contains((i, i + 1000L)), s"clone pair $i missing")
+    }
+    // capped viral bucket drops ALL its pairs
+    val capped = ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.99, dim,
+      nBits = 1, maxBucket = 10)
+    assert(capped.count() <= lsh.size)
+  }
+
   test("simhash: degenerate buckets capped, loose maxDist rejected") {
     import spark.implicits._
     // 60 identical docs -> one viral bucket; cap must drop it entirely
