@@ -57,31 +57,40 @@ object Entities {
   }
 
   /** Typed single-pass A1 aggregator: per-group keep-best by the total
-    * order above. Partial aggregation (map-side combine) comes free. */
+    * order above. Partial aggregation (map-side combine) comes free. The
+    * buffer is a Catalyst-encoded map (key = normalized_text + type), NOT
+    * a Kryo blob: serialization only happens at the partial->final shuffle
+    * boundary, and a structured buffer keeps that exchange Tungsten-format
+    * (columnar, comparable) instead of opaque bytes. Within a partition the
+    * buffer object is mutated in place, so reduce stays O(1) per row. */
   object DedupEntitiesAgg
-      extends Aggregator[Entity, mutable.Map[(String, String), Entity], Seq[Entity]] {
+      extends Aggregator[Entity, mutable.Map[String, Entity], Seq[Entity]] {
     private def better(a: Entity, b: Entity): Entity = {
       val c = java.lang.Double.compare(b.confidence, a.confidence)
       if (c != 0) { if (c < 0) a else b }
       else if (a.start_pos != b.start_pos) { if (a.start_pos < b.start_pos) a else b }
       else if (a.text <= b.text) a else b
     }
-    def zero: mutable.Map[(String, String), Entity] = mutable.Map.empty
-    def reduce(buf: mutable.Map[(String, String), Entity], e: Entity): mutable.Map[(String, String), Entity] = {
-      val key = (Rules.normalizeEntity(e.entity_type, e.text), e.entity_type)
-      buf.updateWith(key) { case Some(old) => Some(better(old, e)); case None => Some(e) }
+    // key rendered as a single string: normalized text cannot contain the
+    // NUL separator (cannot appear in regex-extracted text), so the packing
+    // is injective
+    private def keyOf(e: Entity): String =
+      Rules.normalizeEntity(e.entity_type, e.text) + "\u0000" + e.entity_type
+    def zero: mutable.Map[String, Entity] = mutable.Map.empty
+    def reduce(buf: mutable.Map[String, Entity], e: Entity): mutable.Map[String, Entity] = {
+      buf.updateWith(keyOf(e)) { case Some(old) => Some(better(old, e)); case None => Some(e) }
       buf
     }
-    def merge(a: mutable.Map[(String, String), Entity], b: mutable.Map[(String, String), Entity]): mutable.Map[(String, String), Entity] = {
+    def merge(a: mutable.Map[String, Entity], b: mutable.Map[String, Entity]): mutable.Map[String, Entity] = {
       b.foreach { case (k, e) =>
         a.updateWith(k) { case Some(old) => Some(better(old, e)); case None => Some(e) }
       }
       a
     }
-    def finish(buf: mutable.Map[(String, String), Entity]): Seq[Entity] =
+    def finish(buf: mutable.Map[String, Entity]): Seq[Entity] =
       buf.values.toSeq.sortBy(e => (-e.confidence, e.start_pos, e.text))
-    def bufferEncoder: Encoder[mutable.Map[(String, String), Entity]] =
-      Encoders.kryo[mutable.Map[(String, String), Entity]]
+    def bufferEncoder: Encoder[mutable.Map[String, Entity]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[mutable.Map[String, Entity]]()
     def outputEncoder: Encoder[Seq[Entity]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entity]]()
   }

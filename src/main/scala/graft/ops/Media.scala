@@ -10,33 +10,44 @@ import graft.model.{Doc, Span}
   * The Spark-side plumbing (schema, partitioning, batch shape) is real and
   * tested; the actual codec is STUBBED with a deterministic fake (this
   * container has no image/audio libraries — see the builder brief). The
-  * stub is clearly marked and isolated in `FakeCodec` so a real decoder
-  * (e.g. javacv) can slot in per-partition without touching the plan.
-  */
+  * codec is a SEAM: every stage takes a `Codec` (serializable, constructed
+  * per-partition use) so a real decoder (javacv, TwelveMonkeys ImageIO)
+  * slots in without touching the plan — exercised by the codec-swap test
+  * in OpsSpec. */
 object Media {
+
+  /** The decode seam. Implementations must be Serializable (shipped to
+    * executors) and thread-safe per partition. */
+  trait Codec extends Serializable {
+    /** Resolve the payload bytes for a media_ref (real impl: object-store read). */
+    def fetchBytes(mediaRef: String): Array[Byte]
+    /** Decode container header: (width, height, format). */
+    def decode(bytes: Array[Byte]): (Int, Int, String)
+    /** Fixed-width feature vector (real impl: image embedding model). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Sample k frame offsets (ms) from a video-like payload. */
+    def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int]
+  }
 
   /** STUB: deterministic fake codec. Byte payloads and "decoded" metadata
     * are pure functions of the media_ref so tests are reproducible. */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     def fetchBytes(mediaRef: String): Array[Byte] = {
       val h = graft.gen.Corpus.mix(mediaRef.hashCode.toLong)
       val n = 64 + (math.abs(h) % 192).toInt
       Array.tabulate(n)(i => graft.gen.Corpus.mix(h + i).toByte)
     }
-    /** "Decode" image header: (width, height, format). */
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
       val h = graft.gen.Corpus.mix(bytes.length.toLong * 31 + (if (bytes.nonEmpty) bytes(0) else 0))
       (64 + math.abs(h % 512).toInt, 64 + math.abs((h >>> 16) % 512).toInt,
         if ((h & 1) == 0) "jpeg" else "png")
     }
-    /** "Embed": fixed-width float feature vector from the payload. */
-    def features(bytes: Array[Byte], dim: Int = 16): Array[Float] =
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
       Array.tabulate(dim) { i =>
         val h = graft.gen.Corpus.mix(java.util.Arrays.hashCode(bytes).toLong + i)
         (h >>> 40).toFloat / (1L << 24).toFloat - 0.5f
       }
-    /** "Frame-sample" a video payload into k frame offsets. */
-    def frameOffsets(bytes: Array[Byte], k: Int = 4): Seq[Int] =
+    def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int] =
       (0 until k).map(i => math.abs(graft.gen.Corpus.mix(bytes.length + i) % 10000).toInt).sorted
   }
 
@@ -46,15 +57,15 @@ object Media {
   /** Media table from the corpus: one row per media span, binary payload +
     * decoded metadata. Narrow flatMap — scales with partitions; per-row
     * soft-fail like the text path. */
-  def mediaTable(docs: Dataset[Doc]): Dataset[MediaRow] = {
+  def mediaTable(docs: Dataset[Doc], codec: Codec = FakeCodec): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap { d =>
       Option(d.spans).getOrElse(Seq.empty)
         .filter(s => s.kind == "media" && s.media_ref != null && s.media_ref.nonEmpty)
         .map { s =>
-          val bytes = FakeCodec.fetchBytes(s.media_ref)
-          val (w, h, f) = FakeCodec.decode(bytes)
+          val bytes = codec.fetchBytes(s.media_ref)
+          val (w, h, f) = codec.decode(bytes)
           MediaRow(d.doc_id, s.media_ref, bytes, w, h, f)
         }
     }
@@ -62,20 +73,22 @@ object Media {
 
   /** Feature vectors per media item (batch shape: mapPartitions so a real
     * model could batch per partition). */
-  def withFeatures(media: Dataset[MediaRow], dim: Int = 16): DataFrame = {
+  def withFeatures(media: Dataset[MediaRow], dim: Int = 16,
+                   codec: Codec = FakeCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map(m => (m.doc_id, m.media_ref, FakeCodec.features(m.bytes, dim).toSeq))
+      it.map(m => (m.doc_id, m.media_ref, codec.features(m.bytes, dim).toSeq))
     }.toDF("doc_id", "media_ref", "features")
   }
 
   /** Frame sampling for video-like payloads: one row per sampled frame. */
-  def frameSample(media: Dataset[MediaRow], k: Int = 4): DataFrame = {
+  def frameSample(media: Dataset[MediaRow], k: Int = 4,
+                  codec: Codec = FakeCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      FakeCodec.frameOffsets(m.bytes, k).zipWithIndex.map { case (off, i) =>
+      codec.frameOffsets(m.bytes, k).zipWithIndex.map { case (off, i) =>
         (m.doc_id, m.media_ref, i, off)
       }
     }.toDF("doc_id", "media_ref", "frame_idx", "frame_offset_ms")

@@ -134,6 +134,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media codec seam: a swapped codec flows through every stage unchanged plan") {
+    // a "real" decoder stand-in: parses a tiny header we control, proving
+    // the stages consult the injected codec, not the stub
+    object HeaderCodec extends Media.Codec {
+      def fetchBytes(ref: String): Array[Byte] =
+        (s"W${ref.length % 9 + 1}H${ref.length % 7 + 1}").getBytes("UTF-8")
+      def decode(bytes: Array[Byte]): (Int, Int, String) = {
+        val s = new String(bytes, "UTF-8")
+        (s.charAt(1).asDigit * 100, s.charAt(3).asDigit * 100, "hdr")
+      }
+      def features(bytes: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(bytes.length.toFloat)
+      def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int] = (0 until k).map(_ * 1000)
+    }
+    val corpus = gen.Corpus.corpus(spark, sf).limit(20)
+    val media = Media.mediaTable(corpus, HeaderCodec)
+    val rows = media.collect()
+    assert(rows.nonEmpty && rows.forall(m =>
+      m.format == "hdr" && m.width % 100 == 0 && m.height % 100 == 0))
+    val f = Media.withFeatures(media, dim = 4, codec = HeaderCodec).head()
+    assert(f.getSeq[Float](2).forall(_ == 4.0f)) // |"WxHy"| = 4 bytes
+    val fr = Media.frameSample(media, 3, HeaderCodec)
+      .select("frame_offset_ms").distinct().collect().map(_.getInt(0)).sorted
+    assert(fr.toSeq == Seq(0, 1000, 2000))
+  }
+
   test("media plumbing: binary payloads, decode metadata, features, frames") {
     val corpus = gen.Corpus.corpus(spark, sf)
     val media = Media.mediaTable(corpus).cache()

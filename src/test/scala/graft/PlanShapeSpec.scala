@@ -11,8 +11,12 @@ class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites may have cached the same parquet scans; the CacheManager
+    // would substitute InMemoryRelation and hide the FileScan these tests pin
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("d02 jaccard: composite (lang, n_chars-band) equi-join, no cartesian") {
     val p = plan("d02_jaccard_pairs")
@@ -49,6 +53,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("extraction: parquet scan prunes to (doc_id, text); only the seed repartition shuffles") {
+    spark.catalog.clearCache()
     val p = pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sf))
       .queryExecution.executedPlan.toString
     // the seed documents table also has lang/source/n_chars — they must
