@@ -108,6 +108,14 @@ object SparkEntry {
       ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4, dim = 64, nBits = 1)
         .orderBy("vec_a", "vec_b")
     }),
+    "x14_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      // IVF scale path: centroids from a bounded sample, probe 2/8 cells
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      ops.Ann.Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, 10, nlist = 8, nProbe = 2, sampleN = 400)
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

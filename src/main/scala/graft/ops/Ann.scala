@@ -61,6 +61,102 @@ object Ann {
     embeddings.withColumn("bucket", bucketOf(col(vecCol)))
   }
 
+  /** IVF (inverted-file) ANN, the second scale path beside hyperplane LSH.
+    *
+    * faiss-style split: centroids are TRAINED on a bounded deterministic
+    * sample (driver-side Lloyd iterations — training cost is independent of
+    * corpus size, the standard practice at 10^12 rows), then ASSIGNMENT is
+    * a narrow per-row argmin against the broadcast centroid matrix, and a
+    * query scans only its `nProbe` nearest cells. Everything is seeded and
+    * order-stable: same centroids on every run/cluster. */
+  object Ivf {
+
+    /** Deterministic Lloyd k-means on the first `sampleN` vectors by id.
+      * Empty cells re-seed from the sample (seeded pick) so nlist cells
+      * always come back. */
+    def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, iters: Int = 10, sampleN: Int = 2048): Array[Array[Double]] = {
+      val sample: Array[Array[Double]] = embeddings
+        .orderBy(col(idCol)).limit(sampleN)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+      var centroids = Array.tabulate(nlist) { i =>
+        sample(((graft.gen.Corpus.mix(42L + i) % sample.length + sample.length) % sample.length).toInt)
+      }
+      def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < cs.length) {
+          var d = 0.0; var j = 0
+          val c = cs(i)
+          while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bd) { bd = d; best = i }
+          i += 1
+        }
+        best
+      }
+      for (it <- 1 to iters) {
+        val sums = Array.fill(nlist)(new Array[Double](sample(0).length))
+        val counts = new Array[Int](nlist)
+        sample.foreach { v =>
+          val c = nearest(v, centroids)
+          counts(c) += 1
+          var j = 0; while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+        }
+        centroids = Array.tabulate(nlist) { i =>
+          if (counts(i) == 0)
+            sample(((graft.gen.Corpus.mix(1000L * it + i) % sample.length + sample.length) % sample.length).toInt)
+          else sums(i).map(_ / counts(i))
+        }
+      }
+      centroids
+    }
+
+    /** Cell assignment: one narrow pass, centroids broadcast in the UDF
+      * closure — no join, no shuffle. */
+    def assign(embeddings: DataFrame, vecCol: String,
+               centroids: Array[Array[Double]]): DataFrame = {
+      val cellOf = udf { (v: Seq[Float]) =>
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < centroids.length) {
+          val c = centroids(i)
+          var d = 0.0; var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bd) { bd = d; best = i }
+          i += 1
+        }
+        best
+      }
+      embeddings.withColumn("cell", cellOf(col(vecCol)))
+    }
+
+    /** IVF top-k: exact cosine over the query's nProbe nearest cells only
+      * (scanned fraction ~= nProbe/nlist of the corpus). */
+    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, nlist: Int = 16, nProbe: Int = 2,
+             sampleN: Int = 2048): DataFrame = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val centroids = trainCentroids(embeddings, idCol, vecCol, nlist, sampleN = sampleN)
+      val qd = query.map(_.toDouble)
+      val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(c.length, qd.length)
+        while (j < n) { val x = qd(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+      val q = Seq(Tuple1(query.toSeq)).toDF("qe")
+      assign(embeddings, vecCol, centroids)
+        .filter(col("cell").isin(probeCells: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", expr(cosExpr(vecCol, "qe")))
+        .select(col(idCol), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col(idCol))
+        .limit(k)
+    }
+  }
+
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from
     * a hyperplane-LSH bucket equi-join (shuffle carries only (bucket, id,
     * vector)), the exact cosine is the residual filter. A viral bucket is

@@ -120,6 +120,33 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() <= lsh.size)
   }
 
+  test("IVF ANN: deterministic centroids, recall >= 0.9 on planted neighbors") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(777L)
+    val planted = (1L to 10L).map { p =>
+      (p, qv.zipWithIndex.map { case (x, i) =>
+        x + (mix(p * 131 + i) % 100) / 4000.0f
+      }.toSeq)
+    }
+    val randoms = (11L to 510L).map(p => (p, rand(p).toSeq))
+    val emb = (planted ++ randoms).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = ops.Ann.Ivf.topK(emb, "vec_id", "embedding", qv, 10,
+      nlist = 8, nProbe = 2, sampleN = 510)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.intersect((1L to 10L).toSet).size / 10.0
+    assert(recall >= 0.9, s"IVF recall $recall (got ${got.toSeq.sorted})")
+    // determinism: same centroids -> same cells on a second run
+    val again = ops.Ann.Ivf.topK(emb, "vec_id", "embedding", qv, 10,
+      nlist = 8, nProbe = 2, sampleN = 510)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == again)
+  }
+
   test("simhash: degenerate buckets capped, loose maxDist rejected") {
     import spark.implicits._
     // 60 identical docs -> one viral bucket; cap must drop it entirely
