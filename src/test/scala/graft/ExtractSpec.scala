@@ -168,6 +168,44 @@ This agreement covers the provision of development services...
     assert(parsed.flatMap(_.total_value).sum == 0.0)
   }
 
+  test("accented pt-BR document matches the LIVE reference end-to-end (Unicode parity)") {
+    // golden captured by running parse_from_markdown on this exact content:
+    // {"name": "Acordo Quadro de Serviços", "number": "AQ-2024-117",
+    //  "client": "N/A", "vendor": "N/A", "currency": "R$", "value": null,
+    //  "eff": 2024-03-15, "exp": 2026-03-15, "type": MSA,
+    //  "emails": ["contato@exemplo.com.br"], "cnpj": ["98.765.432/0001-10"],
+    //  "clauses": [vigência, expiração, rescisão, pagamentos, pagamento,
+    //              valor, obrigações], "nsec": 0, "conf": 0.6667}
+    // Unicode behaviors exercised: (?i) folding on 'NÚMERO DO CONTRATO',
+    // parties REJECTED (ç/ã outside the [A-Za-z\s&\.] class), josé@ email
+    // excluded (é is a word char — no \b), accented clause headers hit.
+    val md =
+      """# Acordo Quadro de Serviços
+        |NÚMERO DO CONTRATO: AQ-2024-117
+        |CONTRATANTE: Construção Ltda FORNECEDOR: Serviços São Paulo SA
+        |Valor: R$ 250.000,00
+        |Data de vigência: 15/03/2024 Expiração: 15/03/2026
+        |Vigência: válido por dois anos. Pagamentos: mensal.
+        |Obrigações: conforme anexo. Rescisão: aviso prévio de 30 dias.
+        |Email: josé@construção.br contato@exemplo.com.br
+        |CNPJ: 98.765.432/0001-10
+        |""".stripMargin
+    val c = Extract.parseMarkdown("doc-acc", md)
+    assert(c.title == "Acordo Quadro de Serviços")
+    assert(c.contract_number == "AQ-2024-117")
+    assert(c.client_name == "N/A" && c.vendor_name == "N/A")
+    assert(c.currency == "R$")
+    assert(c.total_value.isEmpty)
+    assert(c.effective_date == "2024-03-15" && c.expiration_date == "2026-03-15")
+    assert(c.contract_type == "MSA")
+    assert(c.emails == Seq("contato@exemplo.com.br"))
+    assert(c.cnpj_cpf == Seq("98.765.432/0001-10"))
+    assert(c.key_clauses == Seq("vigência", "expiração", "rescisão",
+      "pagamentos", "pagamento", "valor", "obrigações"))
+    assert(c.n_sections == 0)
+    assert(math.abs(c.confidence - 2.0 / 3) < 1e-9)
+  }
+
   test("salted evidence merge == direct path on the fixture") {
     for (chunkSize <- Seq(2, 3, 5, 100)) {
       val evs = jsonBlocks.grouped(chunkSize).zipWithIndex
