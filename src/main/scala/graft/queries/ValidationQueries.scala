@@ -124,6 +124,45 @@ object ValidationQueries {
          | FROM ($joined) t ORDER BY hierarchy_id""".stripMargin.replace("\n", " ")
     },
 
+    // V5 — JSON structural validation (schema.py:288-328 simplified
+    // validator, pinned by tests/validation/test_schema_validation.py:
+    // 400-515): malformed JSON short-circuits (the reference's
+    // json.JSONDecodeError early return; exception detail dropped — it is
+    // Python-runtime text), then required-field presence and a numeric
+    // type constraint with the reference's message shapes. Planted JSON
+    // exercises every branch.
+    "v05_json_schema_check" -> q { d =>
+      val j =
+        """(CASE WHEN doc_id % 11 = 3 THEN '{broken'
+          | ELSE '{"contract_name": "C-' || CAST(doc_id AS STRING) || '"'
+          |   || CASE WHEN doc_id % 5 = 0 THEN '' ELSE ', "contract_number": "K-' || CAST(doc_id AS STRING) || '"' END
+          |   || ', "total_value": '
+          |   || CASE WHEN doc_id % 7 = 0 THEN '"abc"' ELSE CAST(doc_id % 1000 AS STRING) || '.5' END
+          |   || '}' END)""".stripMargin.replace("\n", " ")
+      val invalid =
+        if (d.isSpark) "get_json_object(j, '$') IS NULL"
+        else "NOT json_valid(j)"
+      def jget(path: String): String =
+        if (d.isSpark) s"get_json_object(j, '$$.$path')"
+        else s"json_extract_string(j, '$$.$path')"
+      // messages contain single quotes; escapedStringLiterals-mode Spark
+      // keeps '' literal, so the quote is composed via chr(39) (both engines)
+      def qmsg(cond: String, m: String): String = {
+        val lit = "'" + m.replace("'", "' || chr(39) || '") + "'"
+        s"CASE WHEN $cond THEN $lit ELSE '' END"
+      }
+      val checks = Seq(
+        qmsg(s"${jget("contract_name")} IS NULL", "Required field 'contract_name' is missing"),
+        qmsg(s"${jget("contract_number")} IS NULL", "Required field 'contract_number' is missing"),
+        qmsg(s"${jget("total_value")} IS NOT NULL AND try_cast(${jget("total_value")} AS DOUBLE) IS NULL",
+          "Property 'total_value': Expected number type, got str"))
+      s"""SELECT doc_id,
+         | CASE WHEN $invalid THEN 'Invalid JSON format'
+         |      ELSE ${d.joinNonEmpty(checks, "; ")} END AS errors
+         | FROM (SELECT doc_id, $j AS j FROM documents) t ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
     // J6 — 2-D bbox intersection-area argmax join: text lines x table cells
     // on a 4x4 grid, area = x-overlap * y-overlap, argmax per line with
     // cell_id-asc tiebreak, zero-intersection lines dropped — the full
