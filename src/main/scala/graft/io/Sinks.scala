@@ -62,6 +62,18 @@ object Sinks {
       .groupBy("contract_type").count()
       .orderBy(desc("count"), asc("contract_type"))
 
+  /** Bucketed table write: co-locates a table on its join key so repeated
+    * downstream joins/aggregations on that key skip the shuffle entirely
+    * (both sides bucketed on the same key + count -> SortMergeJoin with NO
+    * Exchange; verified in SinksSpec). At 100 TB this is the difference
+    * between re-shuffling the contracts table per query and shuffling it
+    * once at write time — the standard warehouse layout for hot keys. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** SNK3 results envelope: per-status counts + mean confidence. */
   def envelope(extracted: Dataset[ExtractedDoc]): DataFrame =
     extracted.groupBy("status").agg(

@@ -29,6 +29,20 @@ class SinksSpec extends AnyFunSuite {
     assert(parsed.columns.toSet == Set("doc_id", "labels", "metadata"))
   }
 
+  test("bucketed write: co-located join plans with NO shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val flat = Sinks.contractsFlat(extracted)
+    Sinks.writeBucketed(flat.select("doc_id", "contract_type"), "bt_contracts", "doc_id", 8)
+    Sinks.writeBucketed(flat.select(col("doc_id"), col("confidence")), "bt_scores", "doc_id", 8)
+    val joined = spark.table("bt_contracts").join(spark.table("bt_scores"), "doc_id")
+    assert(joined.count() == 500)
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides bucketed on the join key with equal bucket counts:
+    // the join must not re-shuffle either side
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+    spark.sql("DROP TABLE bt_contracts"); spark.sql("DROP TABLE bt_scores")
+  }
+
   test("SNK6 summary + SNK3 envelope shapes") {
     val s = Sinks.summary(extracted).collect()
     assert(s.map(_.getLong(1)).sum == 500)
