@@ -20,50 +20,82 @@ object ValidationQueries {
   private def err(cond: String, msg: String): String =
     s"CASE WHEN $cond THEN '$msg' ELSE '' END"
 
+  /** Planted contract fields shared by v02 and v06 (every rule branch
+    * exercised, incl. the error-free path). */
+  private val ContractFields: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'N/A' WHEN 1 THEN '' ELSE 'Contract ' || CAST(doc_id AS STRING) END AS contract_name,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE 'K-' || CAST(doc_id AS STRING) END AS contract_number,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'N/A' ELSE 'Acme Corp' END AS client_name,
+      |  CASE WHEN doc_id % 6 = 0 THEN '' ELSE 'Beta Ltd' END AS vendor_name,
+      |  CASE WHEN doc_id % 13 = 2 THEN NULL ELSE '2021-06-01' END AS effective_date,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '2020-01-01' WHEN 1 THEN '2021-06-01' ELSE '2023-01-01' END AS expiration_date,
+      |  CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN -5e0 WHEN 1 THEN 0e0 WHEN 2 THEN NULL ELSE 1e2 END AS total_value,
+      |  CASE WHEN doc_id % 9 = 0 THEN '' ELSE 'USD' END AS currency,
+      |  CASE WHEN doc_id % 19 = 9 THEN 0 ELSE 1 END AS has_entities,
+      |  CASE WHEN doc_id % 11 = 3 THEN 0 ELSE 1 END AS ent_sections,
+      |  CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 1 END AS ent_extracted,
+      |  CASE WHEN doc_id % 17 = 7 THEN 0 ELSE 1 END AS ent_parsing
+      |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** The ten business-rule checks of `_validate_business_rules`, in rule
+    * order, each rendering '' or the verbatim reference message. */
+  private val ContractChecks: Seq[String] = Seq(
+    err("coalesce(contract_name, '') = '' OR contract_name = 'N/A'",
+      "Contract must have a valid name"),
+    err("coalesce(contract_number, '') = '' OR contract_number = 'N/A'",
+      "Contract must have a valid contract number"),
+    err("coalesce(client_name, '') = '' OR client_name = 'N/A'",
+      "Contract must have a valid client name"),
+    err("coalesce(vendor_name, '') = '' OR vendor_name = 'N/A'",
+      "Contract must have a valid vendor name"),
+    err("effective_date IS NOT NULL AND expiration_date IS NOT NULL AND effective_date >= expiration_date",
+      "Effective date must be before expiration date"),
+    err("total_value IS NOT NULL AND total_value <= 0",
+      "Contract total value must be positive"),
+    err("total_value IS NOT NULL AND coalesce(currency, '') = ''",
+      "Contract must have currency when value is specified"),
+    err("has_entities = 1 AND ent_sections = 0",
+      "Contract entities must include sections"),
+    err("has_entities = 1 AND ent_extracted = 0",
+      "Contract entities must include extracted entities"),
+    err("has_entities = 1 AND ent_parsing = 0",
+      "Contract entities must include parsing metadata"))
+
   val all: Map[String, (String, String)] = Map(
 
     // V2 — contract business rules (schema.py:169-210): planted contract
     // rows exercising every branch; errors rendered '; '-joined in rule order.
     "v02_validate" -> q { d =>
-      val fields =
-        """SELECT doc_id,
-          |  CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'N/A' WHEN 1 THEN '' ELSE 'Contract ' || CAST(doc_id AS STRING) END AS contract_name,
-          |  CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE 'K-' || CAST(doc_id AS STRING) END AS contract_number,
-          |  CASE WHEN doc_id % 4 = 0 THEN 'N/A' ELSE 'Acme Corp' END AS client_name,
-          |  CASE WHEN doc_id % 6 = 0 THEN '' ELSE 'Beta Ltd' END AS vendor_name,
-          |  CASE WHEN doc_id % 13 = 2 THEN NULL ELSE '2021-06-01' END AS effective_date,
-          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '2020-01-01' WHEN 1 THEN '2021-06-01' ELSE '2023-01-01' END AS expiration_date,
-          |  CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN -5e0 WHEN 1 THEN 0e0 WHEN 2 THEN NULL ELSE 1e2 END AS total_value,
-          |  CASE WHEN doc_id % 9 = 0 THEN '' ELSE 'USD' END AS currency,
-          |  CASE WHEN doc_id % 19 = 9 THEN 0 ELSE 1 END AS has_entities,
-          |  CASE WHEN doc_id % 11 = 3 THEN 0 ELSE 1 END AS ent_sections,
-          |  CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 1 END AS ent_extracted,
-          |  CASE WHEN doc_id % 17 = 7 THEN 0 ELSE 1 END AS ent_parsing
-          |FROM documents""".stripMargin.replace("\n", " ")
-      val checks = Seq(
-        err("coalesce(contract_name, '') = '' OR contract_name = 'N/A'",
-          "Contract must have a valid name"),
-        err("coalesce(contract_number, '') = '' OR contract_number = 'N/A'",
-          "Contract must have a valid contract number"),
-        err("coalesce(client_name, '') = '' OR client_name = 'N/A'",
-          "Contract must have a valid client name"),
-        err("coalesce(vendor_name, '') = '' OR vendor_name = 'N/A'",
-          "Contract must have a valid vendor name"),
-        err("effective_date IS NOT NULL AND expiration_date IS NOT NULL AND effective_date >= expiration_date",
-          "Effective date must be before expiration date"),
-        err("total_value IS NOT NULL AND total_value <= 0",
-          "Contract total value must be positive"),
-        err("total_value IS NOT NULL AND coalesce(currency, '') = ''",
-          "Contract must have currency when value is specified"),
-        err("has_entities = 1 AND ent_sections = 0",
-          "Contract entities must include sections"),
-        err("has_entities = 1 AND ent_extracted = 0",
-          "Contract entities must include extracted entities"),
-        err("has_entities = 1 AND ent_parsing = 0",
-          "Contract entities must include parsing metadata"))
+      val fields = ContractFields
+      val checks = ContractChecks
       s"""SELECT doc_id, ${d.joinNonEmpty(checks, "; ")} AS errors,
          | CASE WHEN ${checks.map(c => s"$c = ''").mkString(" AND ")} THEN 1 ELSE 0 END AS is_valid
          | FROM ($fields) t ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // V6 — per-contract validation summary (schema.py:329-359
+    // get_validation_summary): error count + flags + planted parse stats.
+    // The reference's validation_timestamp (wall clock) is dropped.
+    "v06_validation_summary" -> q { d =>
+      val checks = ContractChecks
+      val errCount =
+        if (d.isSpark) s"size(filter(array(${checks.mkString(", ")}), x -> x <> ''))"
+        else s"len(list_filter([${checks.mkString(", ")}], x -> x <> ''))"
+      val ctype = """CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'msa' WHEN 1 THEN 'lsa'
+        | WHEN 2 THEN 'sow' WHEN 3 THEN 'pwo' WHEN 4 THEN 'cr' ELSE 'cnf' END"""
+        .stripMargin.replace("\n", " ")
+      s"""SELECT doc_id,
+         | CASE WHEN $errCount = 0 THEN 1 ELSE 0 END AS is_valid,
+         | $errCount AS error_count,
+         | ${d.joinNonEmpty(checks, "; ")} AS errors,
+         | round((doc_id % 100) * 1e0 / 100, 2) AS confidence_score,
+         | CAST(doc_id % 8 AS INT) AS extracted_clauses,
+         | CAST(doc_id % 6 AS INT) AS section_count,
+         | $ctype AS contract_type,
+         | CASE WHEN effective_date IS NOT NULL OR expiration_date IS NOT NULL THEN 1 ELSE 0 END AS has_dates,
+         | CASE WHEN total_value IS NOT NULL THEN 1 ELSE 0 END AS has_value
+         | FROM ($ContractFields) t ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
     // V3 — document business rules (schema.py:225-246)
