@@ -162,13 +162,23 @@ object Pipeline {
           snapshotId: String): (Long, Long) = {
     import spark.implicits._
     val m = newMetrics(spark)
-    val extracted = extract(docs, Some(m))
-    extracted.write.mode("overwrite").parquet(s"$outDir/contracts")
-    // lineage from the WRITTEN output (columnar re-read, no recompute)
-    val written = spark.read.parquet(s"$outDir/contracts").as[ExtractedDoc]
-    lineage(written, snapshotId).write.mode("overwrite").parquet(s"$outDir/lineage")
+    // execution-level metrics ride the listener bus (north rule:
+    // accumulators AND listeners); snapshot lands in the manifest
+    val listener = new graft.metrics.ThroughputListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val extracted = extract(docs, Some(m))
+      extracted.write.mode("overwrite").parquet(s"$outDir/contracts")
+      // lineage from the WRITTEN output (columnar re-read, no recompute)
+      val written = spark.read.parquet(s"$outDir/contracts").as[ExtractedDoc]
+      lineage(written, snapshotId).write.mode("overwrite").parquet(s"$outDir/lineage")
+    } finally {
+      // drain the listener bus so the snapshot sees every finished task
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000)
+      spark.sparkContext.removeSparkListener(listener)
+    }
     val manifest =
-      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value}}"""
+      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value},"execution":${listener.snapshotJson}}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_manifest_$snapshotId.json"), manifest)

@@ -78,9 +78,16 @@ class PipelineSpec extends AnyFunSuite {
     val partial = ledger.filter(xxhash64(col("doc_id")) % 5 =!= 0)
     val remaining = Pipeline.resume(docs, partial)
     assert(remaining.count() == 500 - partial.count())
-    // manifest written
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$out/_manifest_snap-001.json")))
+    // manifest written, with both metric channels: accumulator counts and
+    // the listener-bus execution snapshot (records actually processed)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_manifest_snap-001.json"))
+    assert(manifest.contains("\"docs_ok\":500"), manifest)
+    assert(manifest.contains("\"execution\":{"), manifest)
+    val recordsRead = "\"records_read\":(\\d+)".r
+      .findFirstMatchIn(manifest).map(_.group(1).toLong)
+    assert(recordsRead.exists(_ >= 500), manifest)
+    assert(manifest.contains("\"failed_tasks\":0"), manifest)
   }
 
   test("retry queue filter (S1)") {

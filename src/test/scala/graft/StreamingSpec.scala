@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on content key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the d01 exact-dedup streaming twin: state is bounded by the
+    // watermark horizon instead of growing with the corpus — the only
+    // form that survives an unbounded 10^12-doc ingest
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val dedup = stream.toDS().toDF("ts", "doc_id", "content_key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      stream.addData((t(0), "d1", "k-a"), (t(1), "d2", "k-a"), (t(2), "d3", "k-b"))
+      q.processAllAvailable()
+      stream.addData((t(3), "d4", "k-a"), (t(4), "d5", "k-c"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT content_key FROM dedup_stream")
+        .collect().map(_.getString(0)).sorted
+      // k-a kept once (d2/d4 dropped inside the watermark), k-b, k-c kept
+      assert(keys.toSeq == Seq("k-a", "k-b", "k-c"), keys.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful retry queue via mapGroupsWithState (S1 streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
