@@ -24,7 +24,8 @@ object Snapshots {
 
   case class Manifest(snapshotId: String, docsOk: Long, docsErr: Long, spansSeen: Long)
 
-  private val ManifestRe = """\{"snapshot_id":"([^"]+)","docs_ok":(\d+),"docs_err":(\d+),"spans_seen":(\d+)\}""".r
+  // tolerant of trailing fields (e.g. the listener-bus "execution" object)
+  private val ManifestRe = """\{"snapshot_id":"([^"]+)","docs_ok":(\d+),"docs_err":(\d+),"spans_seen":(\d+).*\}""".r
 
   def list(outDir: String): Seq[Manifest] = {
     val dir = Paths.get(outDir)
