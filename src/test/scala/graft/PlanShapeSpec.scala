@@ -67,6 +67,29 @@ class PlanShapeSpec extends AnyFunSuite {
       exchanges.mkString("\n"))
   }
 
+  test("salted path: exactly the seed fan-out + chunk salt + merge exchanges") {
+    spark.catalog.clearCache()
+    val p = pipeline.Pipeline.extractSalted(gen.Corpus.corpus(spark, sf), 64)
+      .queryExecution.executedPlan.toString
+    // budget (distinct exchange nodes — the union prints the shared cached
+    // subtree once per branch): the seed RoundRobin fan-outs inside the
+    // cached lineage, 1 hashpartitioning on (doc_id, chunk_idx) (the salt),
+    // 1 hashpartitioning for the merge groupByKey. A growing count means
+    // the salted plan regressed (e.g. lost the shared cache).
+    val exchangeIds = "Exchange (\\w+)[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSet
+    val hashExchanges = exchangeIds.count(_._1.startsWith("hashpartitioning"))
+    assert(hashExchanges <= 2, exchangeIds.mkString("\n"))
+    assert(exchangeIds.size <= 4, exchangeIds.mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
+  test("x13 embed near-dup: bucket equi-join, no cartesian") {
+    val p = plan("x13_embed_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
