@@ -142,6 +142,42 @@ object RelationalQueries {
         |ORDER BY round(sum(value), 4) DESC, user_id LIMIT 10""".stripMargin.replace("\n", " ")
     },
 
+    // O7 — analysis-vs-expected field scoring + ranking report
+    // (scripts/test_advanced_analysis.py:125-177): string fields score
+    // 1.0/0.0 on exact match, list fields score |expected ∩ actual| /
+    // |expected| (1.0 when nothing is expected), overall = mean over the
+    // six key fields, report sorted by score. Expected/actual pairs are
+    // planted with controlled mismatches so every branch is exercised.
+    "o07_analysis_score" -> q { d =>
+      def contains(arr: String, x: String) =
+        if (d.isSpark) s"array_contains($arr, $x)" else s"list_contains($arr, $x)"
+      val actualParties =
+        if (d.isSpark) "CASE WHEN doc_id % 3 = 0 THEN array('Acme Corp') ELSE array('Acme Corp', 'Beta Ltd') END"
+        else "CASE WHEN doc_id % 3 = 0 THEN ['Acme Corp'] ELSE ['Acme Corp', 'Beta Ltd'] END"
+      val fields =
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id % 5 = 0 THEN 'WRONG' ELSE 'K-' || CAST(doc_id AS STRING) END AS a_id,
+           |  CASE WHEN doc_id % 7 = 0 THEN 'Other' ELSE 'Contract ' || CAST(doc_id AS STRING) END AS a_name,
+           |  CASE WHEN doc_id % 11 = 3 THEN 'LSA' ELSE 'MSA' END AS a_type,
+           |  $actualParties AS a_parties
+           |FROM documents""".stripMargin.replace("\n", " ")
+      val sId = "CASE WHEN a_id = 'K-' || CAST(doc_id AS STRING) THEN 1e0 ELSE 0e0 END"
+      val sName = "CASE WHEN a_name = 'Contract ' || CAST(doc_id AS STRING) THEN 1e0 ELSE 0e0 END"
+      val sType = "CASE WHEN a_type = 'MSA' THEN 1e0 ELSE 0e0 END"
+      val sParties = s"(CASE WHEN ${contains("a_parties", "'Acme Corp'")} THEN 1 ELSE 0 END" +
+        s" + CASE WHEN ${contains("a_parties", "'Beta Ltd'")} THEN 1 ELSE 0 END) * 1e0 / 2"
+      // parent expected = ['C' || group base]; planted actual always has it
+      val sParent = "1e0"
+      // child expected = [] -> score 1.0 by the reference's empty rule
+      val sChild = "1e0"
+      s"""SELECT doc_id, round($sId, 2) AS s_id, round($sName, 2) AS s_name,
+         | round($sType, 2) AS s_type, round($sParties, 2) AS s_parties,
+         | round(($sId + $sName + $sType + $sParties + $sParent + $sChild) / 6, 4) AS overall
+         | FROM ($fields) t
+         | ORDER BY round(($sId + $sName + $sType + $sParties + $sParent + $sChild) / 6, 4) DESC, doc_id"""
+        .stripMargin.replace("\n", " ")
+    },
+
     // W2 — keep-highest per key (A1 dedup shape)
     "w02_keep_highest" -> q { d =>
       """SELECT user_id, event_type, event_id, value FROM (
