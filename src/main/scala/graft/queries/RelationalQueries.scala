@@ -30,8 +30,11 @@ object RelationalQueries {
     // Spark side: cells derive from `orders` (already distinct — no extra
     // shuffle) and the per-line argmax is a lexicographic max(struct(
     // inter, -cell_id)) hash aggregate — partial aggregation, no window
-    // sort. Oracle keeps the equivalent row_number form; identical output
-    // incl. the cell_id-asc tiebreak.
+    // sort. The line-cell join is DELIBERATELY a shuffle join on orderkey,
+    // not a broadcast: cells scale with the corpus (pages per document),
+    // so at 10^12 docs only key co-partitioning survives. Oracle keeps the
+    // equivalent row_number form; identical output incl. the cell_id-asc
+    // tiebreak.
     "j02_spatial_argmax" -> q { d =>
       if (d.isSpark)
         """WITH lines AS (
