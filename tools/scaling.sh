@@ -32,7 +32,7 @@ r8, r32 = best[8], best[32]
 eff = r32['docs_per_sec'] / (4 * r8['docs_per_sec'])
 rows = '\n'.join(f"| local[{s['cores']}] | {s['wall_sec']:.2f} | {s['docs_per_sec']:.0f} |"
                  for s in samples)
-md = f"""# BENCH/BASELINE — measured throughput + scaling (graft engine)
+md = f"""# BENCH/SCALING_THREADS — thread-scaling samples (secondary evidence; primary = executors_bench.sh in BENCH/BASELINE.md)
 
 End-to-end extraction pipeline (synthesize interleaved corpus ->
 boilerplate strip -> block parse -> contract rows) on `{sf}`
@@ -65,6 +65,6 @@ Reference single-node baseline (/root/repo/BASELINE.md): 0.067-1 docs/s
 (sequential per-doc API calls). This engine exceeds it by >4 orders of
 magnitude per node; the target at 100 TB is the scaling curve above.
 """
-open('BENCH/BASELINE.md', 'w').write(md)
+open('BENCH/SCALING_THREADS.md', 'w').write(md)
 print(f'scaling_efficiency={eff:.3f}')
 EOF
