@@ -29,6 +29,30 @@ object Demo {
         "contract.effective_date", "contract.client_name")
       .show(5, truncate = false)
     contracts.groupBy("contract.contract_type").count().orderBy("contract_type").show()
+
+    // validation over the extracted contracts (schema.py business rules)
+    import spark.implicits._
+    val validate = org.apache.spark.sql.functions.udf(
+      (title: String, num: String, cur: String, value: java.lang.Double,
+       eff: String, exp: String, client: String, vendor: String) =>
+        extract.Extract.validate(graft.model.ContractRow(
+          "", title, num, cur, Option(value).map(_.doubleValue), eff, exp,
+          client, vendor, "MSA", Seq.empty, Seq.empty, 0, Seq.empty, 0, 0.0)).size)
+    val nInvalid = contracts.select(validate(
+        $"contract.title", $"contract.contract_number", $"contract.currency",
+        $"contract.total_value", $"contract.effective_date",
+        $"contract.expiration_date", $"contract.client_name",
+        $"contract.vendor_name").as("n_errors"))
+      .filter($"n_errors" > 0).count()
+    println(s"[demo] contracts with validation errors: $nInvalid")
+
+    // training-pipeline ops over the driver documents table
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[demo] exact-dedup groups: ${ops.Dedup.exact(raw, "doc_id", "text").count()}")
+    println(s"[demo] minhash-LSH candidate pairs: ${ops.Dedup.minhashCandidates(raw, "doc_id", "text").count()}")
+    val manifest = io.Snapshots.latest(outDir)
+    println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
+      s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")
     spark.stop()
   }
 }
