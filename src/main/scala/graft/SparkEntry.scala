@@ -52,6 +52,13 @@ object SparkEntry {
       .withColumn("key_clauses", array_join(col("key_clauses"), "; "))
       .withColumn("confidence", round(col("confidence"), 4))
 
+  /** The ANN query vector (vec_id = 0), with a meaningful failure when the
+    * embeddings table lacks it — not an opaque index-out-of-bounds. */
+  private def queryVector(emb: DataFrame, dir: String): Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").collect().headOption
+      .map(_.getSeq[Float](0).toArray)
+      .getOrElse(sys.error(s"query vector vec_id=0 missing from $dir/embeddings.parquet"))
+
   /** Pipeline-tier queries (rows-only driver check; gated by sbt test). */
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_extract_contracts" -> ((s: SparkSession, dir: String) => {
@@ -88,8 +95,7 @@ object SparkEntry {
     }),
     "x07_ann_lsh" -> ((s: SparkSession, dir: String) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray
+      val q = queryVector(emb, dir)
       ops.Ann.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 4)
     }),
     "x08_media_features" -> ((s: SparkSession, dir: String) => {
@@ -111,8 +117,7 @@ object SparkEntry {
     "x14_ann_ivf" -> ((s: SparkSession, dir: String) => {
       // IVF scale path: centroids from a bounded sample, probe 2/8 cells
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0).toArray
+      val q = queryVector(emb, dir)
       ops.Ann.Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         q, 10, nlist = 8, nProbe = 2, sampleN = 400)
     }),

@@ -34,7 +34,9 @@ object Entities {
     Rules.segments(Option(text).getOrElse("")).map { case (seg, cls) =>
       val start = {
         val i = text.indexOf(seg, cursor)
-        if (i >= 0) { cursor = i; i } else 0
+        // advance PAST the match: repeated identical segments must report
+        // their own occurrence's position, not all collapse onto the first
+        if (i >= 0) { cursor = i + seg.length; i } else 0
       }
       val etype = cls match {
         case "amount" => "AMOUNT"

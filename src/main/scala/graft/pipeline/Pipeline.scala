@@ -80,7 +80,25 @@ object Pipeline {
     * extracted, and merged back order-aware. Small docs take the direct
     * path; the union preserves exact per-doc semantics (property-tested
     * against the direct path). */
-  def extractSalted(docs: Dataset[Doc], chunkSize: Int = 256): Dataset[ExtractedDoc] = {
+  def extractSalted(docs: Dataset[Doc], chunkSize: Int = 256,
+                    metrics: Option[Metrics] = None): Dataset[ExtractedDoc] =
+    saltedInternal(docs, chunkSize, metrics)._1
+
+  /** Salted path that OWNS the intermediate cache: runs `use` against the
+    * extracted dataset, then unpersists the tagged intermediate eagerly.
+    * Long-lived drivers calling the salted path repeatedly should use this
+    * form — plain `extractSalted` leaves the cache to the ContextCleaner,
+    * which only reclaims it when the dataset reference is GC'd. */
+  def extractSaltedWith[T](docs: Dataset[Doc], chunkSize: Int = 256,
+                           metrics: Option[Metrics] = None)
+                          (use: Dataset[ExtractedDoc] => T): T = {
+    val (out, tagged) = saltedInternal(docs, chunkSize, metrics)
+    try use(out) finally tagged.unpersist(blocking = false)
+  }
+
+  private def saltedInternal(docs: Dataset[Doc], chunkSize: Int,
+                             metrics: Option[Metrics])
+      : (Dataset[ExtractedDoc], Dataset[_]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE narrow upstream pass: small docs are fully extracted inline
@@ -97,7 +115,7 @@ object Pipeline {
       it.flatMap { d =>
         val n = if (d.spans == null) 0 else d.spans.size
         if (n <= chunkSize * 2)
-          Iterator((Option(extractOne(d, pid, None)), Option.empty[(String, Int, Seq[Span])]))
+          Iterator((Option(extractOne(d, pid, metrics)), Option.empty[(String, Int, Seq[Span])]))
         else
           d.spans.sortBy(_.offset).grouped(chunkSize).zipWithIndex
             .map { case (c, i) => (Option.empty[ExtractedDoc], Option((d.doc_id, i, c))) }
@@ -117,32 +135,37 @@ object Pipeline {
     val evidences = chunks
       .repartition(col("_1"), col("_2"))
       .map { case (id, idx, spans) =>
-        try (id, Option(Extract.chunkEvidence(idx, Extract.stripBoilerplate(spans))),
+        try (id, idx, Option(Extract.chunkEvidence(idx, Extract.stripBoilerplate(spans))),
           spans.size, "")
         catch {
           case e: Exception =>
-            (id, Option.empty[Extract.ChunkEvidence], spans.size, String.valueOf(e.getMessage))
+            (id, idx, Option.empty[Extract.ChunkEvidence], spans.size, String.valueOf(e.getMessage))
         }
       }
     val merged: Dataset[ExtractedDoc] = evidences
       .groupByKey(_._1)
       .mapGroups { (id, it) =>
         val all = it.toSeq
-        val nSpans = all.iterator.map(_._3).sum
+        val nSpans = all.iterator.map(_._4).sum
         try {
-          all.collectFirst { case (_, _, _, e) if e.nonEmpty => e }
-            .foreach(e => throw new RuntimeException(e))
-          val row = Extract.mergeEvidence(id, all.flatMap(_._2))
+          // deterministic error pick: group-iterator order varies with the
+          // repartition, so a multi-chunk failure surfaces the error of the
+          // MINIMUM chunk index, not whichever chunk arrived first
+          all.filter(_._5.nonEmpty).sortBy(_._2).headOption
+            .foreach(c => throw new RuntimeException(c._5))
+          val row = Extract.mergeEvidence(id, all.flatMap(_._3))
+          metrics.foreach { m => m.docsOk.add(1); m.spansSeen.add(nSpans) }
           ExtractedDoc(row, "ok", "", TaskContext.getPartitionId(), nSpans,
             Rules.opHash(id, "extract_salted", id, row.contract_number))
         } catch {
           case e: Exception =>
+            metrics.foreach(_.docsErr.add(1))
             ExtractedDoc(emptyRow(id), "error", String.valueOf(e.getMessage),
               TaskContext.getPartitionId(), nSpans,
               Rules.opHash(id, "error", id, ""))
         }
       }
-    small.unionByName(merged)
+    (small.unionByName(merged), tagged)
   }
 
   /** Lineage table (SNK7 / north rule) as a PROJECTION of extraction

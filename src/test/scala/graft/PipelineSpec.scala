@@ -64,6 +64,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct.toSeq == salted.toSeq)
   }
 
+  test("salted path feeds the same accumulator totals as the direct path") {
+    import spark.implicits._
+    val md = Pipeline.newMetrics(spark)
+    Pipeline.extract(docs, Some(md)).count()
+    val ms = Pipeline.newMetrics(spark)
+    // the *With form also owns + releases the intermediate cache
+    val n = Pipeline.extractSaltedWith(docs, chunkSize = 64, Some(ms))(_.count())
+    assert(n == 500)
+    assert(ms.docsOk.value == md.docsOk.value, s"ok ${ms.docsOk.value} vs ${md.docsOk.value}")
+    assert(ms.docsErr.value == md.docsErr.value)
+    assert(ms.spansSeen.value == md.spansSeen.value,
+      s"spans ${ms.spansSeen.value} vs ${md.spansSeen.value}")
+  }
+
   test("run + lineage + resume: ledger anti-join skips done docs") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-run").toString
