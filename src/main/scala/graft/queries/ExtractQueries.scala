@@ -44,6 +44,16 @@ object ExtractQueries {
     s"'(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)$tail'"
   }
 
+  /** The 23 key-clause section headers (contract_parser.py:41-48),
+    * shared by P11 and the P23 confidence oracle. */
+  private val ClauseHeaders = Seq(
+    "vigência", "duração", "termo", "prazo", "expiração",
+    "rescisão", "terminação", "cancelamento",
+    "confidencialidade", "sigilo", "não divulgação",
+    "pagamentos", "pagamento", "valor", "preço", "compensação",
+    "obrigações", "responsabilidades", "deveres",
+    "foro", "jurisdição", "lei aplicável", "disputas")
+
   /** Shared amount-parse chain (P4): strip class, locale branch, try_cast. */
   private def amountParse(d: D, raw: String): String = {
     val strip = d.rr(raw, "'[R$US$USD€£\\s]'", "''")
@@ -143,16 +153,9 @@ object ExtractQueries {
     // `clause_bits` packs the per-header flags in list order; `key_clauses`
     // renders the present headers '; '-joined (the SNK4 list shape).
     "p11_clauses" -> q { d =>
-      val headers = Seq(
-        "vigência", "duração", "termo", "prazo", "expiração",
-        "rescisão", "terminação", "cancelamento",
-        "confidencialidade", "sigilo", "não divulgação",
-        "pagamentos", "pagamento", "valor", "preço", "compensação",
-        "obrigações", "responsabilidades", "deveres",
-        "foro", "jurisdição", "lei aplicável", "disputas")
-      val bits = headers.map(h =>
+      val bits = ClauseHeaders.map(h =>
         s"CASE WHEN lower(ctext) LIKE '%$h%' THEN '1' ELSE '0' END")
-      val present = headers.map(h =>
+      val present = ClauseHeaders.map(h =>
         s"CASE WHEN lower(ctext) LIKE '%$h%' THEN '$h' ELSE '' END")
       s"""SELECT doc_id,
          | ${bits.mkString(" || ")} AS clause_bits,
@@ -302,6 +305,57 @@ object ExtractQueries {
       s"""SELECT doc_id, $cidClean AS contract_id, $nameTrunc AS contract_name
          |FROM (SELECT doc_id, $atext AS atext FROM documents) t ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
+    },
+
+    // P23 — extraction confidence (contract_parser.py:544-577;
+    // Rules.confidence): the 6-check mean over the planted fields. Every
+    // input is derived from ctext with the SAME patterns the individual
+    // p-queries gate (title P1, number P2, parties P6, dates P5, heading
+    // count, the 23 clause headers), so the formula is value-exact against
+    // DuckDB across all planted field-presence combinations.
+    "p23_confidence" -> q { d =>
+      val title = s"regexp_extract(ctext, $PatTitle, 1)"
+      val num = s"regexp_extract(ctext, $PatNum, 1)"
+      val client = s"trim(regexp_extract(ctext, ${patClient(d)}, 1))"
+      val vendor = s"trim(regexp_extract(ctext, ${patVendor(d)}, 1))"
+      val dmyAll = s"regexp_extract_all(ctext, $PatDmy, 0)"
+      val nDmy = d.size(d.lfilter(dmyAll, s"x -> ${d.dok("x", "d/M/yyyy", "%d/%m/%Y")}"))
+      val ymdOk = d.dok(s"regexp_extract(ctext, $PatYmd, 0)", "y-M-d", "%Y-%m-%d")
+      val nSections = d.size(s"regexp_extract_all(ctext, '(?m)^#{1,2}\\s+.+$$', 0)")
+      val nClauses = ClauseHeaders
+        .map(h => s"CASE WHEN lower(ctext) LIKE '%$h%' THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val score =
+        s"""(CASE WHEN $title <> '' THEN 1e0 ELSE 0e0 END
+           | + CASE WHEN $num <> '' THEN 1e0 ELSE 0e0 END
+           | + CASE WHEN $client <> '' AND $vendor <> '' THEN 1e0 ELSE 0e0 END
+           | + CASE WHEN $nDmy > 0 OR $ymdOk THEN 1e0 ELSE 0e0 END
+           | + CASE WHEN $nSections > 0 THEN least($nSections / 5e0, 1e0) ELSE 0e0 END
+           | + CASE WHEN $nClauses > 0 THEN least($nClauses / 3e0, 1e0) ELSE 0e0 END)"""
+          .stripMargin.replace("\n", " ")
+      s"""SELECT doc_id, $nClauses AS n_clauses,
+         | round($score / 6e0, 6) AS confidence
+         | ${src()} ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // P15 twin — FIXED-WIDTH chunking, value-exact in both dialects
+    // (sequence/range + substr). The sentence-boundary variant (rfind('.'))
+    // stays fold-shaped and test-gated (Rules.chunkText, x04); this twin
+    // gives the chunk generator an oracle the way j02/j06 twin each other.
+    "p15_chunks_fixed" -> q { d =>
+      if (d.isSpark)
+        s"""SELECT doc_id, CAST((i - 1) * 128 AS INT) AS start,
+           | substr(text, (i - 1) * 128 + 1, 128) AS chunk
+           |FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) t
+           |LATERAL VIEW explode(sequence(1, CAST(ceil(length(text) / 128e0) AS INT))) sv AS i
+           |ORDER BY doc_id, start""".stripMargin.replace("\n", " ")
+      else
+        s"""SELECT doc_id, CAST((i - 1) * 128 AS INT) AS start,
+           | substr(text, CAST((i - 1) * 128 + 1 AS INT), 128) AS chunk
+           |FROM (SELECT doc_id, text,
+           |  unnest(range(1, CAST(ceil(length(text) / 128e0) AS BIGINT) + 1)) AS i
+           |  FROM documents WHERE length(text) > 0) t
+           |ORDER BY doc_id, start""".stripMargin.replace("\n", " ")
     },
 
     // P21 — rename-vs-translate decision over planted filenames

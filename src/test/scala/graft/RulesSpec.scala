@@ -180,6 +180,18 @@ All information shared is confidential.
     assert(Rules.chunkText(noDot, 512).map(_._2.length) == Seq(512, 512, 76))
   }
 
+  test("P15 fixed-width twin: chunkText on period-free text IS the p15_chunks_fixed shape") {
+    // the oracle query p15_chunks_fixed gates fixed-width (sequence+substr)
+    // chunking; on text with no '.', the sentence-boundary fold degenerates
+    // to exactly that shape — tying the Scala generator to the SQL twin
+    val text = (1 to 300).map(i => "w" + i).mkString(" ")
+    assert(!text.contains("."))
+    val scala = Rules.chunkText(text, 128)
+    val fixed = (0 until math.ceil(text.length / 128.0).toInt)
+      .map(i => (i * 128, text.substring(i * 128, math.min((i + 1) * 128, text.length))))
+    assert(scala == fixed)
+  }
+
   test("P16 segmentation: heuristic classes") {
     val segs = Rules.segments(
       "The total cost is high. Effective date applies here. This agreement binds. tiny.")
