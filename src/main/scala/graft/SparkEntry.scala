@@ -81,6 +81,23 @@ object SparkEntry {
         .select(col("doc_id"), col("c._1").as("start"), col("c._2").as("chunk"))
         .orderBy("doc_id", "start")
     }),
+    // D7 — near-dup cluster resolution: the d02 jaccard pairs (value-exact
+    // vs the oracle) as edges, closed into components by the REAL
+    // large-star/small-star operator, keeper = min id per component.
+    // Oracle: DuckDB recursive CTE over the same pairs (D07OracleDuck).
+    "d07_dedup_components" -> ((s: SparkSession, dir: String) => {
+      val edges = runShared(shared("d02_jaccard_pairs")._1)(s, dir)
+        .select("doc_a", "doc_b")
+      val cc = ops.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      docs.join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("is_keeper",
+          when(col("doc_id") === col("component"), 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
     "x05_minhash_pairs" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       ops.Dedup.minhashCandidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
@@ -211,5 +228,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     shared.map { case (name, (_, duckSql)) => name -> duckSql } +
-      ("v04_schema_export" -> SchemaExportOracle)
+      ("v04_schema_export" -> SchemaExportOracle) +
+      ("d07_dedup_components" -> TrainingQueries.D07OracleDuck)
 }

@@ -84,6 +84,95 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list, via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Returns (id, component) for every
+    * node that appears in an edge; component = min node id of the
+    * component. Nodes with no edges are absent — callers union singletons.
+    *
+    * Scale notes:
+    *  - every round is equi-joins + hash aggregates only (no cartesian, no
+    *    driver-side union-find); rounds converge in O(log n) — the only CC
+    *    shape that survives a 10^12-node pair graph;
+    *  - each round's edge set is LOCAL-CHECKPOINTED (eager): without the
+    *    lineage cut the logical plan quadruples per round and Catalyst
+    *    analysis goes exponential by round ~8 — caching alone does NOT
+    *    help, the analyzer still walks the full tree. On a real cluster
+    *    this is a reliable `checkpoint` to the cluster FS;
+    *  - convergence is detected by an (edge count, xxhash64 xor) signature
+    *    — one cheap aggregate per round. */
+  def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
+                          maxRounds: Int = 25): DataFrame = {
+    val canonical = edges0
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    def signature(df: DataFrame): (Long, Long) = {
+      // xor-fold of the edge hashes: order-independent and overflow-free
+      // under ANSI mode (a sum of 64-bit hashes overflows)
+      val r = df.agg(count("*"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = canonical.localCheckpoint(true)
+    var sig = signature(edges)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      // large-star: hang every strictly-larger neighbor of x off
+      // m = min(N(x) ∪ {x}); output edges always have u > v
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy("x").agg(min("y").as("m0"))
+        .select(col("x"), least(col("x"), col("m0")).as("m"))
+      val large = nbrs.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: hang every smaller neighbor of u (and u itself) off
+      // m = min(N(u)); both sides of the emitted edge are < u, so
+      // re-canonicalize
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // eager: cut lineage, blocks cleaned by ContextCleaner
+      val nextSig = signature(next)
+      edges = next
+      stable = nextSig == sig
+      sig = nextSig
+      round += 1
+    }
+    // at the fixpoint the edge set is a star forest: (member, root) rows
+    // plus the roots labeling themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Full near-dup resolution: LSH candidates -> exact-jaccard verify ->
+    * connected components -> one keeper (min id) per component. The
+    * decision layer the pair generators feed at 100 TB: A~B and B~C imply
+    * one keeper for {A,B,C} even though (A,C) was never a candidate pair. */
+  def resolveNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double,
+                      bands: Int = 4, rowsPerBand: Int = 2,
+                      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand, maxBucket)
+    val verified = jaccardOnCandidates(docs, cands, idCol, textCol, threshold)
+    val cc = connectedComponents(verified, "doc_a", "doc_b")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, col("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_keeper", when(col("doc_id") === col("component"), 1).otherwise(0))
+  }
+
   /** 64-bit SimHash over the word multiset (xxhash64 word hashes, sign of
     * per-bit vote). Pure column-free UDF kept tiny; words come from a
     * codegen'd regexp. */

@@ -12,6 +12,31 @@ object TrainingQueries {
 
   private def words(col: String) = s"regexp_extract_all(lower($col), '[a-z0-9]+', 0)"
 
+  /** DuckDB-only oracle for d07_dedup_components: the d02 jaccard pairs as
+    * an undirected edge list, closed transitively with a recursive CTE
+    * (min-label reachability), then keeper = min id per component. The
+    * Spark side runs the REAL operator (large-star/small-star CC over the
+    * same d02 pair edges) — this twin is the value-exact spec at test
+    * scale, like v04's VALUES golden. */
+  val D07OracleDuck: String = {
+    val d = Dialect.Duck
+    val inter = "len(list_intersect(a.ws, b.ws))"
+    val jac = s"$inter * 1e0 / nullif(${d.size("a.ws")} + ${d.size("b.ws")} - $inter, 0)"
+    s"""WITH RECURSIVE w AS (SELECT doc_id, lang, n_chars, list_distinct(${words("text")}) AS ws FROM documents),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND abs(a.n_chars - b.n_chars) <= 5
+       |  WHERE $jac >= 0.2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(comp) AS component,
+       |  CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS is_keeper
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key

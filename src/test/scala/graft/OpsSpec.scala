@@ -37,6 +37,47 @@ class OpsSpec extends AnyFunSuite {
     assert(verified.count() >= 5)
   }
 
+  test("connected components: planted transitive clusters, one keeper each") {
+    import spark.implicits._
+    // {1,2,3} via chain + shortcut, {10,11} pair, {20..23} chain, in
+    // deliberately mixed edge orientations
+    val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L), (20L, 21L), (22L, 21L), (22L, 23L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components: 64-node path converges (log-round property)") {
+    import spark.implicits._
+    // a diameter-63 path would defeat naive neighbor label propagation
+    // within the round budget; large-star/small-star closes it in O(log n)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b").collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("resolveNearDups: transitive near-dup chain A~B~C gets ONE keeper") {
+    import spark.implicits._
+    val a = (1 to 30).map("w" + _)
+    val b = a.updated(0, "x0").updated(5, "x5").updated(10, "x10")
+      .updated(15, "x15").updated(20, "x20")
+    val c = b.updated(1, "y1").updated(6, "y6").updated(11, "y11")
+      .updated(16, "y16").updated(21, "y21")
+    // jaccard(a,b) = jaccard(b,c) = 25/35 ≈ 0.71 >= 0.6;
+    // jaccard(a,c) = 20/40 = 0.5 < 0.6 — only transitivity links A to C
+    val df = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")),
+      (9L, (1 to 30).map("unrelated" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.resolveNearDups(df, "doc_id", "text", threshold = 0.6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    assert(out.filter(_._3 == 1).map(_._1).toSeq == Seq(1L, 9L))
+  }
+
   test("simhash: identical docs collide, near-dups within distance") {
     import spark.implicits._
     val d = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -84,6 +84,33 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d07 connected components: EVERY round is equi-join + hash agg only") {
+    import spark.implicits._
+    // capture the physical plan of every job the CC loop runs — the
+    // guarantee is per-ROUND (a cartesian in round 3 of the loop would be
+    // invisible in the final output's plan)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      graft.ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").collect()
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000)
+      val captured = plans.synchronized(plans.toSeq)
+      assert(captured.nonEmpty)
+      captured.foreach { p =>
+        assert(!p.contains("CartesianProduct"), p.take(1500))
+        assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("x13 embed near-dup: bucket equi-join, no cartesian") {
     val p = plan("x13_embed_neardup_lsh")
     assert(!p.contains("CartesianProduct"), p.take(2000))
