@@ -25,16 +25,18 @@ object Bench {
     Bench.runOnce(spark, sfDir, warm = true)
     spark.catalog.clearCache()
 
-    val (results, docsPerSec) = runOnce(spark, sfDir, warm = false)
+    val (results, docsPerSec, lshDropped) = runOnce(spark, sfDir, warm = false)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped}""")
     spark.stop()
   }
 
-  /** One pass over the headline operators; returns (name -> sec, docs/sec). */
-  def runOnce(spark: SparkSession, sfDir: String, warm: Boolean): (Seq[(String, Double)], Double) = {
+  /** One pass over the headline operators; returns (name -> sec, docs/sec,
+    * LSH bucket-cap dropped rows — the coverage-loss counter, 0 = full
+    * candidate coverage). */
+  def runOnce(spark: SparkSession, sfDir: String, warm: Boolean): (Seq[(String, Double)], Double, Long) = {
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
@@ -71,11 +73,13 @@ object Bench {
       val (t, _) = time { SparkEntry.queries(q)(spark, sfDir).count() }
       out += (q -> t)
     }
+    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh_dropped")
     val (tLsh, _) = time {
       ops.Dedup.minhashCandidates(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text").count()
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        droppedRows = Some(dropAcc)).count()
     }
     out += ("minhash_lsh_pairs" -> tLsh)
-    (out.toSeq, nBig / tBig)
+    (out.toSeq, nBig / tBig, dropAcc.value)
   }
 }

@@ -49,7 +49,12 @@ object Demo {
     // training-pipeline ops over the driver documents table
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[demo] exact-dedup groups: ${ops.Dedup.exact(raw, "doc_id", "text").count()}")
-    println(s"[demo] minhash-LSH candidate pairs: ${ops.Dedup.minhashCandidates(raw, "doc_id", "text").count()}")
+    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh_dropped")
+    val nCand = ops.Dedup.minhashCandidates(raw, "doc_id", "text",
+      droppedRows = Some(dropAcc)).count()
+    println(s"[demo] minhash-LSH candidate pairs: $nCand (bucket-cap dropped rows: ${dropAcc.value})")
+    val components = ops.Dedup.resolveNearDups(raw, "doc_id", "text", threshold = 0.5)
+    println(s"[demo] near-dup components: keepers=${components.filter($"is_keeper" === 1).count()} of ${components.count()} docs")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

@@ -124,11 +124,15 @@ object SparkEntry {
         .orderBy("doc_id", "media_ref")
     }),
     "x13_embed_neardup_lsh" -> ((s: SparkSession, dir: String) => {
-      // scale path for d06: LSH bucket equi-join + residual cosine filter
-      // (at 1 bit the two half-space buckets cover most pairs; higher
-      // nBits trades recall for selectivity — recall property in OpsSpec)
+      // scale path for d06: OR-amplified LSH (4 independent 8-bit
+      // hyperplane tables, union of bucket equi-joins) + residual cosine
+      // filter. Corpus-appropriate nBits keeps buckets selective at any
+      // scale; the extra tables restore recall on true near-neighbors
+      // (recall property vs brute force in OpsSpec) — the r2 call site's
+      // nBits=1 half-space buckets silently exceeded maxBucket at scale.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4, dim = 64, nBits = 1)
+      ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4, dim = 64,
+          nBits = 8, nTables = 4)
         .orderBy("vec_a", "vec_b")
     }),
     "x14_ann_ivf" -> ((s: SparkSession, dir: String) => {

@@ -158,29 +158,60 @@ object Ann {
   }
 
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from
-    * a hyperplane-LSH bucket equi-join (shuffle carries only (bucket, id,
-    * vector)), the exact cosine is the residual filter. A viral bucket is
-    * capped like the minhash/simhash paths — at 10^12 rows one degenerate
-    * bucket must not produce O(bucket^2) pairs. Recall vs the brute-force
-    * baseline (d06) is probabilistic by design: same-bucket probability is
-    * (1 - theta/pi)^nBits; identical/near-identical vectors always
-    * collide (tested on planted clones). */
+    * hyperplane-LSH bucket equi-joins (shuffle carries only (table, bucket,
+    * id, vector)), the exact cosine is the residual filter. A viral bucket
+    * is capped like the minhash/simhash paths — at 10^12 rows one
+    * degenerate bucket must not produce O(bucket^2) pairs — and the drop
+    * is COUNTED via `droppedRows`, never silent.
+    *
+    * OR-amplification: `nTables` independent hyperplane tables (the
+    * standard LSH band construction the minhash path uses). Per-table
+    * collision probability for angle theta is (1 - theta/pi)^nBits, which
+    * collapses as nBits grows to corpus-appropriate selectivity; a pair is
+    * a candidate if it collides in ANY table, so recall is
+    * 1 - (1 - (1-theta/pi)^nBits)^nTables — tunable without giving up
+    * bucket selectivity. Candidates are deduped on the pair key before the
+    * cosine filter, so a pair colliding in several tables is scored once. */
   def neardupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int, nBits: Int = 8,
-                   maxBucket: Int = 10000): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
-    val bucketed = withBucket(
-      embeddings.select(col(idCol).as("id"), col(vecCol).as("v")), "v", planes)
+                   maxBucket: Int = 10000, nTables: Int = 1,
+                   droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(nTables >= 1, s"nTables=$nTables must be >= 1")
+    // table l gets its own deterministic plane set (seed-shifted)
+    val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
+    val bucketsOf = udf { (v: Seq[Float]) =>
+      planeTables.map { planes =>
+        var b = 0L
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var dot = 0.0
+          var j = 0
+          val n = math.min(p.length, v.length)
+          while (j < n) { dot += p(j) * v(j); j += 1 }
+          if (dot >= 0) b |= (1L << i)
+          i += 1
+        }
+        b
+      }.toSeq
+    }
+    val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(bucketsOf(col("v"))).as(Seq("tbl", "bucket")))
     val bounded = bucketed
       .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bucket_n") <= maxBucket)
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
+      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
       .drop("bucket_n")
     bounded.as("a").join(bounded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos_sim", round(expr(cosExpr("a.v", "b.v")), 6))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos_sim", round(expr(cosExpr("va", "vb")), 6))
       .filter(col("cos_sim") >= threshold)
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos_sim"))
+      .select("vec_a", "vec_b", "cos_sim")
   }
 
   /** LSH top-k: restrict the cosine scan to the query's bucket PLUS its

@@ -49,7 +49,8 @@ object Dedup {
     * near-dup cluster would otherwise dominate the job. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         bands: Int = 4, rowsPerBand: Int = 2,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
@@ -61,7 +62,7 @@ object Dedup {
     val bounded = buckets
       .withColumn("bucket_n", count("*").over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
       .drop("bucket_n")
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -210,7 +211,8 @@ object Dedup {
     *    `minhashCandidates`: one viral near-dup cluster must not produce
     *    O(bucket^2) pairs at 10^12 docs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 1000,
+                   droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(maxDist >= 1 && maxDist <= 7,
       s"maxDist=$maxDist: pigeonhole blocks need width >= 8 bits to stay selective")
     val blocks = maxDist + 1
@@ -223,7 +225,7 @@ object Dedup {
     val bounded = keyed
       .withColumn("bucket_n", count("*").over(
         org.apache.spark.sql.expressions.Window.partitionBy("blk", "key")))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
       .drop("bucket_n")
     bounded.as("a").join(bounded.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&

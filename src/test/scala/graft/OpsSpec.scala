@@ -161,6 +161,61 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() <= lsh.size)
   }
 
+  test("embed near-dup OR-amplified: recall >= 0.9 on planted NEAR-neighbors at nBits=8") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 64
+    def rand(seed: Long, amp: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => ((mix(seed * 104729 + i) >>> 40).toFloat / (1 << 24) - 0.5f) * amp)
+    // 25 planted near-neighbor pairs at cos ~0.98 (NOT clones: each pair
+    // differs by per-dim noise ~1/5 of the vector norm) among 200 randoms
+    val bases = (1L to 25L).map(i => (i, rand(i, 1f)))
+    val nears = bases.map { case (i, v) =>
+      (i + 1000L, v.zip(rand(i + 555L, 0.2f)).map { case (x, e) => x + e })
+    }
+    val noise = (101L to 300L).map(i => (i, rand(i, 1f)))
+    val emb = (bases ++ nears ++ noise).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // single 8-bit table: per-pair collision ~(1-theta/pi)^8 — low by design
+    val single = ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.9, dim,
+      nBits = 8, nTables = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // OR-amplified: 4 independent tables restore recall without giving up
+    // bucket selectivity (1-(1-p)^4)
+    val amplified = ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.9, dim,
+      nBits = 8, nTables = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = bases.map { case (i, _) => (i, i + 1000L) }.toSet
+    val recall = planted.intersect(amplified).size.toDouble / planted.size
+    assert(recall >= 0.9, s"amplified recall $recall < 0.9")
+    assert(planted.intersect(single).size <= planted.intersect(amplified).size,
+      "amplification must not lose pairs a single table finds")
+  }
+
+  test("bucket-cap drops are COUNTED, never silent (viral cluster)") {
+    import spark.implicits._
+    // 40 identical docs: one viral bucket per band, over the cap of 10 —
+    // the guard must drop them AND report the drop (r2 'no silent caps')
+    val viral = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val rest = (101L to 105L).map(i =>
+      (i, s"unique$i words$i only$i here$i now$i and$i more$i distinct$i"))
+    val df = (viral ++ rest).toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("minhash_dropped")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text",
+      maxBucket = 10, droppedRows = Some(acc))
+    assert(pairs.count() == 0) // correct behavior: the viral bucket is dropped
+    assert(acc.value >= 40, s"dropped rows not reported: ${acc.value}") // ...but visibly
+    val acc2 = spark.sparkContext.longAccumulator("simhash_dropped")
+    Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3,
+      maxBucket = 10, droppedRows = Some(acc2)).count()
+    assert(acc2.value >= 40, s"simhash dropped rows not reported: ${acc2.value}")
+    val acc3 = spark.sparkContext.longAccumulator("neardup_dropped")
+    val clone = Seq.tabulate(16)(i => i * 0.1f - 0.8f)
+    val vecs = (1L to 40L).map(i => (i, clone)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    ops.Ann.neardupPairs(vecs, "vec_id", "embedding", 0.9, 16,
+      nBits = 4, maxBucket = 10, droppedRows = Some(acc3)).count()
+    assert(acc3.value >= 40, s"neardup dropped rows not reported: ${acc3.value}")
+  }
+
   test("IVF ANN: deterministic centroids, recall >= 0.9 on planted neighbors") {
     import spark.implicits._
     import graft.gen.Corpus.mix
