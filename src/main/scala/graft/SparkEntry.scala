@@ -116,9 +116,10 @@ object SparkEntry {
       ops.Ann.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 4)
     }),
     "x08_media_features" -> ((s: SparkSession, dir: String) => {
-      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir))
+      // REAL decode path: genuine PNG payloads via the JDK's ImageIO
+      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir), ops.Media.ImageIoCodec)
       // features array -> rounded '; '-joined string (driver-comparator-safe)
-      ops.Media.withFeatures(media)
+      ops.Media.withFeatures(media, codec = ops.Media.ImageIoCodec)
         .withColumn("features",
           array_join(transform(col("features"), f => round(f, 4).cast("string")), "; "))
         .orderBy("doc_id", "media_ref")
@@ -155,10 +156,11 @@ object SparkEntry {
       graft.extract.Entities.dedupWindow(ents).orderBy("doc_id", "entity_type", "start_pos")
     }),
     "x12_media_frames" -> ((s: SparkSession, dir: String) => {
-      // multimodal frame sampling (stub codec; real plumbing) — one row
+      // multimodal frame sampling over REAL decoded payloads — one row
       // per sampled frame per media item
-      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir))
-      ops.Media.frameSample(media, 4).orderBy("doc_id", "media_ref", "frame_idx")
+      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir), ops.Media.ImageIoCodec)
+      ops.Media.frameSample(media, 4, ops.Media.ImageIoCodec)
+        .orderBy("doc_id", "media_ref", "frame_idx")
     }),
     "x11_sampleby" -> ((s: SparkSession, dir: String) => {
       // DataFrameStatFunctions.sampleBy — the reference's stratified

@@ -257,6 +257,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoCodec: REAL PNG bytes round-trip through decode/features/frames") {
+    import Media.ImageIoCodec
+    // the synthesized payload is a genuine PNG container (magic bytes),
+    // and decode reads the real header back — not a hash of the ref
+    val bytes = ImageIoCodec.fetchBytes("fig-000042.png")
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "not a PNG container")
+    val (w, h, fmt) = ImageIoCodec.decode(bytes)
+    assert(fmt == "png")
+    assert(w >= 8 && w < 32 && h >= 8 && h < 32)
+    // a DIFFERENT spatial payload decodes to its own dims (header is real)
+    val (w2, h2, _) = ImageIoCodec.decode(ImageIoCodec.fetchBytes("fig-000001.png"))
+    assert((w, h) != (w2, h2) || bytes.length != ImageIoCodec.fetchBytes("fig-000001.png").length)
+    // features: real pixel means in [0, 1], deterministic
+    val f = ImageIoCodec.features(bytes, 16)
+    assert(f.length == 16 && f.forall(v => v >= 0f && v <= 1f))
+    assert(f.exists(_ > 0f))
+    assert(f.toSeq == ImageIoCodec.features(bytes, 16).toSeq)
+    val offs = ImageIoCodec.frameOffsets(bytes, 4)
+    assert(offs.length == 4 && offs == offs.sorted)
+    // full pipeline stages under the real codec (the x08/x12 shape)
+    val corpus = gen.Corpus.corpus(spark, sf).limit(20)
+    val media = Media.mediaTable(corpus, ImageIoCodec)
+    val rows = media.collect()
+    assert(rows.nonEmpty && rows.forall(m => m.format == "png" && m.width >= 8 && m.height >= 8))
+    val feats = Media.withFeatures(media, dim = 8, codec = ImageIoCodec).collect()
+    assert(feats.forall(_.getSeq[Float](2).forall(v => v >= 0f && v <= 1f)))
+    val frames = Media.frameSample(media, 3, ImageIoCodec)
+    assert(frames.count() == rows.length * 3)
+  }
+
   test("media codec seam: a swapped codec flows through every stage unchanged plan") {
     // a "real" decoder stand-in: parses a tiny header we control, proving
     // the stages consult the injected codec, not the stub
