@@ -20,6 +20,14 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // start from a clean output dir: the demo re-runs into the same path,
+    // and a stale pre-partitioned layout must not mix with the snapshot
+    // partitions (dynamic overwrite only replaces the partitions it writes)
+    val outPath = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(outPath)) {
+      java.nio.file.Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val docs = gen.Corpus.corpus(spark, sfDir)
     val (ok, err) = pipeline.Pipeline.run(spark, docs, outDir, "demo-snap")
     println(s"[demo] docs ok=$ok err=$err out=$outDir")

@@ -180,7 +180,13 @@ object Pipeline {
   /** Run + persist: contracts parquet, lineage parquet, manifest JSON —
     * the Iceberg-snapshot-shaped checkpoint emulation (SURVEY §7.4.4:
     * no Iceberg jar in the sandbox; the manifest records snapshot id,
-    * input, and counts so a real Iceberg impl can slot in). */
+    * sequence, and counts so a real Iceberg impl can slot in).
+    *
+    * Both tables are PARTITIONED BY snapshot_id with dynamic partition
+    * overwrite: each snapshot appends its own partition, replaying a
+    * snapshot id replaces exactly that partition (idempotent), and history
+    * accumulates — which is what makes `Snapshots.asOf` (read the state as
+    * of snapshot N) a partition-pruned filter instead of a table rebuild. */
   def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
           snapshotId: String): (Long, Long) = {
     import spark.implicits._
@@ -189,19 +195,30 @@ object Pipeline {
     // accumulators AND listeners); snapshot lands in the manifest
     val listener = new graft.metrics.ThroughputListener
     spark.sparkContext.addSparkListener(listener)
+    // snapshot ordering: re-running an id keeps its sequence slot,
+    // a new id gets the next one
+    val prior = graft.io.Snapshots.list(outDir)
+    val seq = prior.find(_.snapshotId == snapshotId).map(_.seq)
+      .getOrElse(prior.map(_.seq).maxOption.map(_ + 1).getOrElse(0L))
     try {
       val extracted = extract(docs, Some(m))
-      extracted.write.mode("overwrite").parquet(s"$outDir/contracts")
+      extracted.toDF().withColumn("snapshot_id", lit(snapshotId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot_id").parquet(s"$outDir/contracts")
       // lineage from the WRITTEN output (columnar re-read, no recompute)
-      val written = spark.read.parquet(s"$outDir/contracts").as[ExtractedDoc]
-      lineage(written, snapshotId).write.mode("overwrite").parquet(s"$outDir/lineage")
+      val written = spark.read.parquet(s"$outDir/contracts")
+        .filter(col("snapshot_id") === snapshotId).drop("snapshot_id")
+        .as[ExtractedDoc]
+      lineage(written, snapshotId)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("snapshot_id").parquet(s"$outDir/lineage")
     } finally {
       // drain the listener bus so the snapshot sees every finished task
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000)
       spark.sparkContext.removeSparkListener(listener)
     }
     val manifest =
-      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value},"execution":${listener.snapshotJson}}"""
+      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value},"seq":$seq,"execution":${listener.snapshotJson}}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_manifest_$snapshotId.json"), manifest)

@@ -104,6 +104,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(manifest.contains("\"failed_tasks\":0"), manifest)
   }
 
+  test("snapshot as-of: resume against snapshot A reprocesses exactly B's docs") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    // snapshot A: a deterministic ~4/5 subset; snapshot B: everything
+    // (so A-docs are REPROCESSED in B — exercises keep-latest resolution)
+    val docsA = docs.filter(xxhash64(col("doc_id")) % 5 =!= 0)
+    val idsA = docsA.select("doc_id").collect().map(_.getString(0)).toSet
+    Pipeline.run(spark, docsA, out, "snap-a")
+    Pipeline.run(spark, docs, out, "snap-b")
+    assert(graft.io.Snapshots.list(out).map(m => (m.snapshotId, m.seq)) ==
+      Seq(("snap-a", 0L), ("snap-b", 1L)))
+    // as of B: complete — nothing left to resume, 500 distinct contracts,
+    // every one resolved to its snap-b (latest) row
+    val atB = graft.io.Snapshots.asOf(spark, out, "snap-b")
+    assert(Pipeline.resume(docs, atB.ledger).count() == 0)
+    assert(atB.contracts.count() == 500)
+    assert(atB.contracts.select("contract.doc_id").distinct().count() == 500)
+    assert(atB.contracts.filter(col("snapshot_id") =!= "snap-b").count() == 0)
+    // as of A: exactly the docs B added are pending again
+    val redo = graft.io.Snapshots.resumeAsOf(docs, out, "snap-a")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(redo == docs.select("doc_id").collect().map(_.getString(0)).toSet -- idsA)
+    assert(redo.nonEmpty)
+    // and A's contract state contains exactly A's docs
+    val atA = graft.io.Snapshots.asOf(spark, out, "snap-a")
+    assert(atA.contracts.count() == idsA.size)
+  }
+
   test("retry queue filter (S1)") {
     import spark.implicits._
     val state = Seq(
