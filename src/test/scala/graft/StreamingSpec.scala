@@ -80,6 +80,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: checkpointed restart + idempotent batch sink = exactly-once ledger") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ck = s"$root/ck"
+    val all = gen.Corpus.corpus(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.doc_id).take(40)
+    val (a, b) = all.splitAt(25)
+    a.toSeq.toDS().write.mode("append").parquet(inDir)
+    val q1 = pipeline.StreamingPipeline.start(spark, inDir, outDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    val led1 = spark.read.parquet(s"$outDir/lineage")
+    assert(led1.count() == 25)
+    // KILL + RESTART from the same checkpoint with new files landed:
+    // committed offsets mean A's files are never re-extracted
+    b.toSeq.toDS().write.mode("append").parquet(inDir)
+    val q2 = pipeline.StreamingPipeline.start(spark, inDir, outDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    val led2 = spark.read.parquet(s"$outDir/lineage")
+    assert(led2.count() == 40, s"ledger rows ${led2.count()}")
+    assert(led2.select("doc_id").distinct().count() == 40, "duplicate lineage rows after restart")
+    // the streaming output IS the snapshot layout: manifests + asOf work
+    val ms = graft.io.Snapshots.list(outDir)
+    assert(ms.map(_.seq) == Seq(0L, 1L), ms.toString)
+    assert(graft.io.Snapshots.asOf(spark, outDir, ms.last.snapshotId)
+      .contracts.count() == 40)
+    // sink replay (failure between sink write and offset commit): the SAME
+    // batch id re-written overwrites its own partition — no duplicates
+    pipeline.StreamingPipeline.writeBatch(
+      pipeline.Pipeline.extract(a.toSeq.toDS()), 0L, outDir)
+    val led3 = spark.read.parquet(s"$outDir/lineage")
+    assert(led3.count() == 40 && led3.select("doc_id").distinct().count() == 40,
+      "batch replay appended duplicates")
+  }
+
   test("stateful retry queue via mapGroupsWithState (S1 streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
