@@ -28,13 +28,17 @@ object RelationalQueries {
     // J2 — spatial theta-join + per-line argmax (bbox intersection,
     // table_processor_fixed.py:237-294, reduced to 1-D intervals).
     // Spark side: cells derive from `orders` (already distinct — no extra
-    // shuffle) and the per-line argmax is a lexicographic max(struct(
-    // inter, -cell_id)) hash aggregate — partial aggregation, no window
-    // sort. The line-cell join is DELIBERATELY a shuffle join on orderkey,
-    // not a broadcast: cells scale with the corpus (pages per document),
-    // so at 10^12 docs only key co-partitioning survives. Oracle keeps the
-    // equivalent row_number form; identical output incl. the cell_id-asc
-    // tiebreak.
+    // shuffle) and the per-line argmax is an INTEGER-ENCODED max —
+    // m = inter * 4 + (3 - cell_id) packs (inter desc, cell_id asc) into
+    // one int whose max is the lexicographic winner. Unlike max(struct),
+    // an integer max is HASH-aggregable (partial+final HashAggregate, no
+    // per-partition sort) — plan-guarded. The line-cell join is
+    // DELIBERATELY a shuffle join on orderkey, not a broadcast: cells
+    // scale with the corpus (pages per document), so at 10^12 docs only
+    // key co-partitioning survives; the orderkey hash partitioning also
+    // satisfies the (orderkey, linenumber) grouping, so the agg adds no
+    // exchange. Oracle keeps the row_number form; identical output incl.
+    // the cell_id-asc tiebreak.
     "j02_spatial_argmax" -> q { d =>
       if (d.isSpark)
         """WITH lines AS (
@@ -48,11 +52,12 @@ object RelationalQueries {
           |  FROM orders, (VALUES (0), (1), (2), (3)) AS cj(j)),
           |best AS (
           |  SELECT l.l_orderkey, l.l_linenumber,
-          |         max(struct(greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)), -c.cell_id)) AS m
+          |         max(greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) * 4 + 3 - c.cell_id) AS m
           |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey
           |  GROUP BY l.l_orderkey, l.l_linenumber)
-          |SELECT l_orderkey, l_linenumber, -m.col2 AS cell_id, m.col1 AS inter
-          |FROM best WHERE m.col1 > 0
+          |SELECT l_orderkey, l_linenumber, CAST(3 - m % 4 AS INT) AS cell_id,
+          |       CAST(m DIV 4 AS INT) AS inter
+          |FROM best WHERE m DIV 4 > 0
           |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
       else
         """WITH lines AS (

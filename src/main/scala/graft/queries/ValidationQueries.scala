@@ -199,8 +199,10 @@ object ValidationQueries {
     // on a 4x4 grid, area = x-overlap * y-overlap, argmax per line with
     // cell_id-asc tiebreak, zero-intersection lines dropped — the full
     // geometry of table_processor_fixed.py:277-283 (j02 keeps the 1-D
-    // reduction for continuity). Spark side: lexicographic max(struct)
-    // hash aggregate — partial agg, no window sort.
+    // reduction for continuity). Spark side: integer-encoded argmax
+    // m = area * 16 + (15 - cell_id) — a plain int max is HASH-aggregable
+    // (partial+final HashAggregate), where max(struct) forced a
+    // per-partition sort-aggregate.
     "j06_bbox_argmax" -> q { d =>
       val lines =
         """SELECT l_orderkey, l_linenumber,
@@ -221,11 +223,12 @@ object ValidationQueries {
       if (d.isSpark)
         s"""WITH lines AS ($lines), cells AS ($cells),
            |best AS (
-           |  SELECT l.l_orderkey, l.l_linenumber, max(struct($area, -c.cell_id)) AS m
+           |  SELECT l.l_orderkey, l.l_linenumber, max(($area) * 16 + 15 - c.cell_id) AS m
            |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey
            |  GROUP BY l.l_orderkey, l.l_linenumber)
-           |SELECT l_orderkey, l_linenumber, -m.col2 AS cell_id, m.col1 AS area
-           |FROM best WHERE m.col1 > 0
+           |SELECT l_orderkey, l_linenumber, CAST(15 - m % 16 AS INT) AS cell_id,
+           |       CAST(m DIV 16 AS INT) AS area
+           |FROM best WHERE m DIV 16 > 0
            |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")
       else
         s"""WITH lines AS ($lines), cells AS ($cells),

@@ -43,9 +43,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("j06 bbox argmax: partial (map-side) aggregation, line-cell equi-join on orderkey") {
     val p = plan("j06_bbox_argmax")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // max(struct) is sort-aggregated (struct max is not hash-aggregable);
-    // the scale property is the PARTIAL aggregate before the exchange
-    assert(p.contains("partial_max(struct"), p.take(3000))
+    // the integer-encoded argmax must be a partial HASH aggregate — the
+    // old max(struct) form forced a per-partition sort-aggregate
+    assert(p.contains("partial_max("), p.take(3000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
     // lines join cells on the orderkey equi key (the 4x4 VALUES expansion
     // may use a broadcast nested-loop: 16 literal rows, benign)
     assert("HashJoin \\[l_orderkey#\\d+L\\], \\[c_orderkey#\\d+L\\]".r
