@@ -29,7 +29,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped}""")
+    // round-3 additions timed OUTSIDE the compared queries/total set so
+    // round-over-round totals stay apples-to-apples
+    val (tCc, nKeepers) = {
+      val t0 = System.nanoTime()
+      val n = ops.Dedup.resolveNearDups(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+          threshold = 0.5)
+        .filter("is_keeper = 1").count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val extras = s"""{"neardup_components":${f"$tCc%.3f"}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers}""")
     spark.stop()
   }
 
