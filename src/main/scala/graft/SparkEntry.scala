@@ -162,6 +162,15 @@ object SparkEntry {
       ops.Media.frameSample(media, 4, ops.Media.ImageIoCodec)
         .orderBy("doc_id", "media_ref", "frame_idx")
     }),
+    "x15_media_resize" -> ((s: SparkSession, dir: String) => {
+      // real decode -> bilinear rescale -> re-encode; the binary payload is
+      // projected to (length, md5) so the driver comparator sees scalars
+      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir), ops.Media.ImageIoCodec)
+      ops.Media.withResized(media, 16, 16)
+        .select(col("doc_id"), col("media_ref"), col("src_width"), col("src_height"),
+          length(col("resized")).as("resized_bytes"), md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id", "media_ref")
+    }),
     "x11_sampleby" -> ((s: SparkSession, dir: String) => {
       // DataFrameStatFunctions.sampleBy — the reference's stratified
       // sampling (openai_contract_explorer.py:229-310) via the built-in

@@ -174,4 +174,41 @@ object Media {
       }
     }.toDF("doc_id", "media_ref", "frame_idx", "frame_offset_ms")
   }
+
+  /** Resize every media payload to (targetW, targetH): decode, bilinear
+    * rescale, re-encode PNG — real pixels end to end (javax.imageio +
+    * Graphics2D, no new dependencies). Narrow mapPartitions, same
+    * per-partition batch shape as `withFeatures`; a row whose payload
+    * cannot be decoded keeps `resized = null` (soft-fail, like the text
+    * path) rather than failing the stage. */
+  def withResized(media: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target ${targetW}x$targetH must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val resized: Array[Byte] =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+            if (img == null) null
+            else {
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              baos.toByteArray
+            }
+          } catch { case _: Exception => null }
+        (m.doc_id, m.media_ref, m.width, m.height, resized)
+      }
+    }.toDF("doc_id", "media_ref", "src_width", "src_height", "resized")
+      .withColumn("target_width", org.apache.spark.sql.functions.lit(targetW))
+      .withColumn("target_height", org.apache.spark.sql.functions.lit(targetH))
+  }
 }

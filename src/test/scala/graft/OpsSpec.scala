@@ -288,6 +288,29 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() == rows.length * 3)
   }
 
+  test("media resize: real bilinear rescale, target dims decode back, soft-fail on junk") {
+    import spark.implicits._
+    import Media.ImageIoCodec
+    val corpus = gen.Corpus.corpus(spark, sf).limit(10)
+    val media = Media.mediaTable(corpus, ImageIoCodec)
+    val resized = Media.withResized(media, 16, 12).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("resized")
+      assert(bytes != null, s"resize failed for ${r.getString(1)}")
+      val (w, h, fmt) = ImageIoCodec.decode(bytes)
+      assert((w, h, fmt) == (16, 12, "png"), s"got ${(w, h, fmt)}")
+    }
+    // determinism: same payload -> same re-encoded bytes
+    val again = Media.withResized(media, 16, 12).collect()
+    assert(resized.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq)
+    // soft-fail: an undecodable payload yields resized = null, not a crash
+    val junk = Seq(Media.MediaRow("d", "junk.bin", Array[Byte](1, 2, 3), 0, 0, "bin")).toDS()
+    val out = Media.withResized(junk, 8, 8).collect()
+    assert(out.length == 1 && out(0).getAs[Array[Byte]]("resized") == null)
+  }
+
   test("media codec seam: a swapped codec flows through every stage unchanged plan") {
     // a "real" decoder stand-in: parses a tiny header we control, proving
     // the stages consult the injected codec, not the stub
