@@ -59,6 +59,39 @@ class OpsSpec extends AnyFunSuite {
     assert(cc.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components == local union-find on seeded random graphs") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    // three deterministic random graphs with different density regimes;
+    // ground truth from a driver-side union-find (fine at test scale —
+    // the operator exists precisely because union-find doesn't distribute)
+    for ((n, m, seed) <- Seq((120, 60, 1L), (120, 150, 2L), (200, 400, 3L))) {
+      val edges = (0 until m).map { i =>
+        val a = math.abs(mix(seed * 7919 + i * 2) % n).toInt
+        val b = math.abs(mix(seed * 7919 + i * 2 + 1) % n).toInt
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v.toLong -> {
+          // path-compress to the true min root
+          var r = find(v)
+          while (parent(r) != r) r = parent(r)
+          r.toLong
+        }).toMap
+      // union-find with min-root union gives min-id component labels
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b").repartition(7), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"graph(n=$n, m=$m, seed=$seed)")
+    }
+  }
+
   test("resolveNearDups: transitive near-dup chain A~B~C gets ONE keeper") {
     import spark.implicits._
     val a = (1 to 30).map("w" + _)
