@@ -66,6 +66,10 @@ object Demo {
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")
+    // time travel: read the contract state back AS OF the snapshot
+    val asOf = io.Snapshots.asOf(spark, outDir, "demo-snap")
+    println(s"[demo] as-of demo-snap: ${asOf.contracts.count()} contracts, " +
+      s"${asOf.ledger.count()} ledger rows")
     spark.stop()
   }
 }

@@ -131,30 +131,51 @@ object Ann {
       embeddings.withColumn("cell", cellOf(col(vecCol)))
     }
 
-    /** IVF top-k: exact cosine over the query's nProbe nearest cells only
-      * (scanned fraction ~= nProbe/nlist of the corpus). */
-    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
-             query: Array[Float], k: Int, nlist: Int = 16, nProbe: Int = 2,
-             sampleN: Int = 2048): DataFrame = {
-      val spark = embeddings.sparkSession
-      import spark.implicits._
+    /** A built IVF index: trained centroids + the cell-assigned corpus.
+      * Build ONCE, query many times — training and the narrow assignment
+      * pass amortize across queries (callers persist/bucket `assigned` as
+      * their reuse pattern warrants; at real scale it is a written table
+      * partitioned by cell, making each probe a partition-pruned scan). */
+    case class Index(centroids: Array[Array[Double]], assigned: DataFrame,
+                     idCol: String, vecCol: String)
+
+    def buildIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 16, sampleN: Int = 2048): Index = {
       val centroids = trainCentroids(embeddings, idCol, vecCol, nlist, sampleN = sampleN)
+      Index(centroids, assign(embeddings, vecCol, centroids), idCol, vecCol)
+    }
+
+    /** Top-k against a prebuilt index: probe-cell selection is driver-side
+      * arithmetic on the broadcast-small centroid matrix; the scan touches
+      * only the nProbe chosen cells. */
+    def topKIndexed(index: Index, query: Array[Float], k: Int,
+                    nProbe: Int = 2): DataFrame = {
+      val spark = index.assigned.sparkSession
+      import spark.implicits._
       val qd = query.map(_.toDouble)
-      val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val probeCells = index.centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         val n = math.min(c.length, qd.length)
         while (j < n) { val x = qd(j) - c(j); d += x * x; j += 1 }
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2).toSeq
       val q = Seq(Tuple1(query.toSeq)).toDF("qe")
-      assign(embeddings, vecCol, centroids)
+      index.assigned
         .filter(col("cell").isin(probeCells: _*))
         .crossJoin(broadcast(q))
-        .withColumn("cos_sim", expr(cosExpr(vecCol, "qe")))
-        .select(col(idCol), col("cos_sim"))
-        .orderBy(desc("cos_sim"), col(idCol))
+        .withColumn("cos_sim", expr(cosExpr(index.vecCol, "qe")))
+        .select(col(index.idCol), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col(index.idCol))
         .limit(k)
     }
+
+    /** IVF top-k: exact cosine over the query's nProbe nearest cells only
+      * (scanned fraction ~= nProbe/nlist of the corpus). One-shot form of
+      * buildIndex + topKIndexed. */
+    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, nlist: Int = 16, nProbe: Int = 2,
+             sampleN: Int = 2048): DataFrame =
+      topKIndexed(buildIndex(embeddings, idCol, vecCol, nlist, sampleN), query, k, nProbe)
   }
 
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from

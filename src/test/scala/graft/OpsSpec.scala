@@ -274,6 +274,16 @@ class OpsSpec extends AnyFunSuite {
       nlist = 8, nProbe = 2, sampleN = 510)
       .collect().map(_.getLong(0)).toSet
     assert(got == again)
+    // index reuse: build once, serve many queries — same answers as the
+    // one-shot form, training/assignment amortized
+    val idx = ops.Ann.Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 8, sampleN = 510)
+    assert(ops.Ann.Ivf.topKIndexed(idx, qv, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet == got)
+    val q2 = rand(999L)
+    assert(ops.Ann.Ivf.topKIndexed(idx, q2, 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet ==
+      ops.Ann.Ivf.topK(emb, "vec_id", "embedding", q2, 5,
+        nlist = 8, nProbe = 2, sampleN = 510).collect().map(_.getLong(0)).toSet)
   }
 
   test("simhash: degenerate buckets capped, loose maxDist rejected") {
