@@ -219,17 +219,19 @@ object Ann {
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
         posexplode(bucketsOf(col("v"))).as(Seq("tbl", "bucket")))
-    val bounded = bucketed
-      .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")))
-      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
+    val bounded = DropStats.cappedFilter(
+      bucketed.withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket"))),
+      col("bucket_n") <= maxBucket, droppedRows)
       .drop("bucket_n")
-    bounded.as("a").join(bounded.as("b"),
+    val joined = bounded.as("a").join(bounded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
+    // one table cannot produce duplicate pairs — skip the dedup shuffle
+    val deduped = if (nTables == 1) joined else joined.dropDuplicates("vec_a", "vec_b")
+    deduped
       .withColumn("cos_sim", round(expr(cosExpr("va", "vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")

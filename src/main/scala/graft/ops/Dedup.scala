@@ -59,10 +59,10 @@ object Dedup {
     val keyed = sigs.select(col(idCol).as("id") +: bandKeys: _*)
     val buckets = keyed.select(col("id"),
       posexplode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as(Seq("band", "h")))
-    val bounded = buckets
-      .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "h")))
-      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
+    val bounded = DropStats.cappedFilter(
+      buckets.withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "h"))),
+      col("bucket_n") <= maxBucket, droppedRows)
       .drop("bucket_n")
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -222,10 +222,10 @@ object Dedup {
       posexplode(array((0 until blocks).map { b =>
         expr(s"CAST(shiftright(simhash, ${b * width}) & ${(1L << width) - 1} AS BIGINT)")
       }: _*)).as(Seq("blk", "key")))
-    val bounded = keyed
-      .withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("blk", "key")))
-      .filter(DropStats.countingKeep(droppedRows)(col("bucket_n") <= maxBucket))
+    val bounded = DropStats.cappedFilter(
+      keyed.withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk", "key"))),
+      col("bucket_n") <= maxBucket, droppedRows)
       .drop("bucket_n")
     bounded.as("a").join(bounded.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&

@@ -22,4 +22,15 @@ object DropStats {
       if (!keep) acc.foreach(_.add(1))
       keep
     }
+
+  /** Apply the cap predicate: plain codegen'd filter when nobody asked for
+    * the count, counting UDF filter (breaks whole-stage codegen for that
+    * one stage) only when an accumulator is supplied. */
+  def cappedFilter(df: org.apache.spark.sql.DataFrame,
+                   keep: org.apache.spark.sql.Column,
+                   acc: Option[LongAccumulator]): org.apache.spark.sql.DataFrame =
+    acc match {
+      case Some(_) => df.filter(countingKeep(acc)(keep))
+      case None => df.filter(keep)
+    }
 }
