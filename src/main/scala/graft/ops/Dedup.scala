@@ -127,11 +127,13 @@ object Dedup {
         .union(edges.select(col("v").as("x"), col("u").as("y")))
       val mins = nbrs.groupBy("x").agg(min("y").as("m0"))
         .select(col("x"), least(col("x"), col("m0")).as("m"))
+      // NOT distinct'd: duplicate edges cannot change the min-aggregates
+      // below and `next` dedups at the end — skipping it saves a full
+      // shuffle of the edge set every round
       val large = nbrs.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: hang every smaller neighbor of u (and u itself) off
       // m = min(N(u)); both sides of the emitted edge are < u, so
       // re-canonicalize
