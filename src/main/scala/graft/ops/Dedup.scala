@@ -151,6 +151,11 @@ object Dedup {
       sig = nextSig
       round += 1
     }
+    // no silent partial labels: an unconverged edge set would mislabel
+    // components — fail loudly instead (the brief's "no silent caps" rule)
+    require(stable,
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        s"(${sig._1} edges remain in motion); raise maxRounds")
     // at the fixpoint the edge set is a star forest: (member, root) rows
     // plus the roots labeling themselves
     edges.select(col("u").as("id"), col("v").as("component"))
