@@ -56,10 +56,11 @@ object Bench {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
     // Host CPU-steal episodes swing single-pass walls up to ~10x on this VM
-    // (BENCH/BASELINE.md); the headline metrics take the min of 3 passes —
-    // the least-contended sample is the only stable estimator here.
+    // (BENCH/BASELINE.md); every reported wall takes the min of 3 passes —
+    // the least-contended sample is the only stable estimator here. The
+    // warmup invocation runs each query once (JIT/codegen priming only).
     def bestOf3(f: => Long): (Double, Long) =
-      (1 to 3).map(_ => time(f)).minBy(_._1)
+      (1 to (if (warm) 1 else 3)).map(_ => time(f)).minBy(_._1)
 
     val (tExtract, nDocs) = bestOf3 {
       pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir)).count()
