@@ -31,7 +31,9 @@ object Bench {
     val total = results.map(_._2).sum
     // round-3 additions timed OUTSIDE the compared queries/total set so
     // round-over-round totals stay apples-to-apples
-    val (tCc, nKeepers) = (1 to 2).map { _ =>
+    // min-of-3 like every other reported wall (first pass doubles as the
+    // query's only warmup — it runs after clearCache)
+    val (tCc, nKeepers) = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val n = ops.Dedup.resolveNearDups(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
@@ -71,14 +73,12 @@ object Bench {
       pipeline.Pipeline.extract(gen.Corpus.corpus(spark, sfDir, replicate = 16)).count()
     }
     out += ("extract_pipeline_16x" -> tBig)
-    val tSalted = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      // the *With form owns the intermediate cache: unpersist (async) runs
-      // as soon as the count materializes, so three passes never stack
-      // three live caches
+    // the *With form owns the intermediate cache: unpersist (async) runs
+    // as soon as the count materializes, so repeated passes never stack
+    // live caches
+    val (tSalted, _) = bestOf3 {
       pipeline.Pipeline.extractSaltedWith(gen.Corpus.corpus(spark, sfDir), 256)(_.count())
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    }
     out += ("extract_salted" -> tSalted)
     // per-query walls are ALSO min-of-3 (since r3): the driver runs Bench
     // once per round, and a host-steal window hitting a single-pass query
@@ -88,13 +88,19 @@ object Bench {
       val (t, _) = bestOf3 { SparkEntry.queries(q)(spark, sfDir).count() }
       out += (q -> t)
     }
-    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh_dropped")
     val (tLsh, _) = bestOf3 {
       ops.Dedup.minhashCandidates(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-        droppedRows = Some(dropAcc)).count()
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text").count()
     }
     out += ("minhash_lsh_pairs" -> tLsh)
+    // exact coverage-loss counter, measured ONCE outside the timed passes
+    // (the counting form runs one extra aggregate job at call time — see
+    // DropStats.cappedFilter — which must neither ride the timing nor be
+    // repeated per pass)
+    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh_dropped")
+    if (!warm) ops.Dedup.minhashCandidates(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      droppedRows = Some(dropAcc))
     (out.toSeq, nBig / tBig, dropAcc.value)
   }
 }

@@ -61,8 +61,11 @@ object Demo {
     val nCand = ops.Dedup.minhashCandidates(raw, "doc_id", "text",
       droppedRows = Some(dropAcc)).count()
     println(s"[demo] minhash-LSH candidate pairs: $nCand (bucket-cap dropped rows: ${dropAcc.value})")
-    val components = ops.Dedup.resolveNearDups(raw, "doc_id", "text", threshold = 0.5)
-    println(s"[demo] near-dup components: keepers=${components.filter($"is_keeper" === 1).count()} of ${components.count()} docs")
+    val ccDropAcc = spark.sparkContext.longAccumulator("graft.neardup_dropped")
+    val components = ops.Dedup.resolveNearDups(raw, "doc_id", "text",
+      threshold = 0.5, droppedRows = Some(ccDropAcc))
+    println(s"[demo] near-dup components: keepers=${components.filter($"is_keeper" === 1).count()} " +
+      s"of ${components.count()} docs (bucket-cap dropped rows: ${ccDropAcc.value})")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

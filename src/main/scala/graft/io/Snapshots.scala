@@ -19,10 +19,11 @@ import graft.model.Doc
   *   _manifest_<id>.json           snapshot manifest: id, sequence, counts
   *
   * Resume contract (north rule): a job restarted against the same outDir
-  * processes exactly the docs without an 'ok' ledger record in the latest
-  * snapshot — `Pipeline.resume`'s anti-join. Writes are idempotent per
-  * snapshot partition (dynamic overwrite), so replaying a
-  * partially-written snapshot is safe.
+  * processes exactly the docs whose LATEST ledger record (snapshot
+  * history accumulates — the most recent snapshot that touched a doc is
+  * authoritative for it) is not 'ok' — `Pipeline.resume`'s anti-join over
+  * `latestLedgerState`. Writes are idempotent per snapshot partition
+  * (dynamic overwrite), so replaying a partially-written snapshot is safe.
   *
   * Time travel (`asOf`): the state as of snapshot N = the partitions of
   * snapshots with sequence <= N's — a partition-pruned filter, mirroring
@@ -39,31 +40,63 @@ object Snapshots {
   private val ManifestRe =
     """\{"snapshot_id":"([^"]+)","docs_ok":(\d+),"docs_err":(\d+),"spans_seen":(\d+)(?:,"seq":(\d+))?.*\}""".r
 
-  /** Manifests in snapshot-sequence order. */
+  /** Manifests in snapshot-sequence order. Legacy manifests (written
+    * before the seq field existed) get fallback seqs 0..k-1 in filename
+    * order counted among THEMSELVES only — indexing them by position in
+    * the combined listing would shift with every new manifest and collide
+    * with explicit seqs (a legacy file sorting after a new `seq:1` file
+    * would also read as seq 1, corrupting latest()/asOf() ordering). The
+    * legacy set is frozen (nothing writes seq-less manifests anymore), so
+    * among-themselves indices are stable, and writers assign new seqs as
+    * max(existing)+1 — always past the legacy range. */
   def list(outDir: String): Seq[Manifest] = {
     val dir = Paths.get(outDir)
     if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    val parsed = Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_manifest_"))
       .toSeq.sortBy(_.getFileName.toString)
-      .zipWithIndex
-      .flatMap { case (p, i) =>
+      .flatMap { p =>
         Files.readString(p) match {
           case ManifestRe(id, ok, err, spans, seq) =>
-            Some(Manifest(id, ok.toLong, err.toLong, spans.toLong,
-              Option(seq).map(_.toLong).getOrElse(i.toLong)))
+            Some((id, ok.toLong, err.toLong, spans.toLong, Option(seq).map(_.toLong)))
           case _ => None
         }
       }
-      .sortBy(m => (m.seq, m.snapshotId))
+    var legacyIdx = -1L
+    parsed.map { case (id, ok, err, spans, seqOpt) =>
+      Manifest(id, ok, err, spans, seqOpt.getOrElse { legacyIdx += 1; legacyIdx })
+    }.sortBy(m => (m.seq, m.snapshotId))
   }
 
   def latest(outDir: String): Option[Manifest] = list(outDir).lastOption
 
+  /** The RAW ledger: every (doc, stage) record of every accumulated
+    * snapshot partition. For resume decisions use `latestLedgerState` —
+    * a doc reprocessed in a later snapshot has multiple rows here and the
+    * stale ones must not vote. */
   def ledger(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val p = Paths.get(outDir, "lineage")
     if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  /** Ledger reduced to the latest record per (doc, stage) across the given
+    * snapshots: one hash aggregate (max_by over the manifest sequence —
+    * partial+final, no window sort), scale-safe at 10^12 docs. Ledger rows
+    * whose snapshot has no manifest (a crash between the lineage write and
+    * the manifest write) are excluded by the inner join — conservatively
+    * treating those docs as unprocessed, which resume then redoes. */
+  private def latestPerDoc(led: DataFrame, manifests: Seq[Manifest]): DataFrame = {
+    val spark = led.sparkSession
+    import spark.implicits._
+    val seqDf = manifests.map(m => (m.snapshotId, m.seq)).toDF("snapshot_id", "seq")
+    led.join(broadcast(seqDf), "snapshot_id")
+      .groupBy("doc_id", "stage")
+      .agg(expr("max_by(status, seq)").as("status"))
+  }
+
+  /** Per-(doc, stage) CURRENT status under the full snapshot history. */
+  def latestLedgerState(spark: SparkSession, outDir: String): Option[DataFrame] =
+    ledger(spark, outDir).map(latestPerDoc(_, list(outDir)))
 
   /** The contracts + ledger state AS OF a snapshot: partitions of every
     * snapshot up to and including it, with contracts resolved keep-latest
@@ -94,15 +127,26 @@ object Snapshots {
     SnapshotView(snapshotId, contracts, led)
   }
 
-  /** Resume against the ledger AS OF a snapshot: docs without an 'ok'
-    * extract record at that point — i.e. everything later snapshots did
-    * (or new work) gets reprocessed. */
-  def resumeAsOf(docs: Dataset[Doc], outDir: String, snapshotId: String): Dataset[Doc] =
-    graft.pipeline.Pipeline.resume(docs, asOf(docs.sparkSession, outDir, snapshotId).ledger)
+  /** Resume against the ledger AS OF a snapshot: docs whose latest record
+    * AT THAT POINT is not 'ok' — i.e. everything later snapshots did (or
+    * new work) gets reprocessed. Latest-per-doc within the included
+    * snapshots, so a doc that was ok early but errored in a later included
+    * snapshot is correctly pending again. */
+  def resumeAsOf(docs: Dataset[Doc], outDir: String, snapshotId: String): Dataset[Doc] = {
+    val ms = list(outDir)
+    val target = ms.find(_.snapshotId == snapshotId)
+      .getOrElse(sys.error(s"unknown snapshot '$snapshotId' in $outDir"))
+    val view = asOf(docs.sparkSession, outDir, snapshotId)
+    graft.pipeline.Pipeline.resume(docs,
+      latestPerDoc(view.ledger, ms.filter(_.seq <= target.seq)))
+  }
 
-  /** Docs still pending under the latest snapshot (all docs if none). */
+  /** Docs still pending under the current snapshot history (all docs if
+    * none): the anti-join runs against the latest-per-doc ledger state, so
+    * a doc that errored in its most recent snapshot is pending even if an
+    * older snapshot once processed it ok. */
   def pending(spark: SparkSession, docs: Dataset[Doc], outDir: String): Dataset[Doc] =
-    ledger(spark, outDir) match {
+    latestLedgerState(spark, outDir) match {
       case Some(l) => graft.pipeline.Pipeline.resume(docs, l)
       case None => docs
     }

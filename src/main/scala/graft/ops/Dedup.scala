@@ -170,8 +170,12 @@ object Dedup {
   def resolveNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double,
                       bands: Int = 4, rowsPerBand: Int = 2,
-                      maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand, maxBucket)
+                      maxBucket: Int = 1000,
+                      droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    // droppedRows is threaded to the candidate generator: a viral cluster
+    // over maxBucket yields singleton "keepers" for its members, which is
+    // indistinguishable from a dup-free corpus unless the drop is counted
+    val cands = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand, maxBucket, droppedRows)
     val verified = jaccardOnCandidates(docs, cands, idCol, textCol, threshold)
     val cc = connectedComponents(verified, "doc_a", "doc_b")
     docs.select(col(idCol).cast("long").as("doc_id"))

@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.util.LongAccumulator
 
 /** Coverage-loss surfacing for the bucket-cap guards (the brief's "no
@@ -13,24 +12,17 @@ import org.apache.spark.util.LongAccumulator
   */
 object DropStats {
 
-  /** A boolean pass-through filter that adds every rejected row to `acc`.
-    * Accumulator updates from transformations are at-least-once under
-    * task retries/cache misses — treat the count as an operational
-    * coverage metric, not an exact ledger. */
-  def countingKeep(acc: Option[LongAccumulator]): UserDefinedFunction =
-    udf { keep: Boolean =>
-      if (!keep) acc.foreach(_.add(1))
-      keep
-    }
-
-  /** Apply the cap predicate: plain codegen'd filter when nobody asked for
-    * the count, counting UDF filter (breaks whole-stage codegen for that
-    * one stage) only when an accumulator is supplied. */
-  def cappedFilter(df: org.apache.spark.sql.DataFrame,
-                   keep: org.apache.spark.sql.Column,
-                   acc: Option[LongAccumulator]): org.apache.spark.sql.DataFrame =
-    acc match {
-      case Some(_) => df.filter(countingKeep(acc)(keep))
-      case None => df.filter(keep)
-    }
+  /** Apply the cap predicate as a plain codegen'd filter. When an
+    * accumulator is supplied, the EXACT number of rejected rows is counted
+    * by one eager aggregate over the same frame and added to it ONCE, at
+    * call time — not by a per-row UDF inside the returned plan. A UDF
+    * count is at-least-once under task retries and double-evaluates when
+    * the filtered frame sits on both sides of a self-join (every caller
+    * here self-joins it), which overcounted drops up to 6x; the eager
+    * aggregate costs one extra small job only when the count is requested
+    * and keeps the returned plan fully codegen'd. */
+  def cappedFilter(df: DataFrame, keep: Column, acc: Option[LongAccumulator]): DataFrame = {
+    acc.foreach(_.add(df.filter(!keep).count()))
+    df.filter(keep)
+  }
 }

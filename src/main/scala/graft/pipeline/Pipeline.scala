@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,9 +188,33 @@ object Pipeline {
     * snapshot id replaces exactly that partition (idempotent), and history
     * accumulates — which is what makes `Snapshots.asOf` (read the state as
     * of snapshot N) a partition-pruned filter instead of a table rebuild. */
+  /** Guard against resuming into a pre-snapshot FLAT layout: dynamic
+    * partition overwrite only replaces the partitions it writes, so
+    * root-level part-files from the old unpartitioned writer would survive
+    * next to the new snapshot_id= directories and the read-back dies on
+    * Spark's "conflicting directory structures". Fail fast with the fix
+    * instead of half-writing a snapshot. (Driver-side listing; like the
+    * manifest I/O this is the sandbox's local-FS stand-in for the catalog.) */
+  private[pipeline] def assertSnapshotLayout(outDir: String): Unit =
+    for (table <- Seq("contracts", "lineage")) {
+      val p = java.nio.file.Paths.get(outDir, table)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        val flat = try s.iterator().asScala.exists { f =>
+          java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet")
+        } finally s.close()
+        require(!flat,
+          s"$p holds flat parquet files from the pre-snapshot layout; " +
+            "snapshot writes are partitioned by snapshot_id and cannot mix " +
+            "with them — move the old files aside or use a fresh outDir")
+      }
+    }
+
   def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
           snapshotId: String): (Long, Long) = {
     import spark.implicits._
+    assertSnapshotLayout(outDir)
     val m = newMetrics(spark)
     // execution-level metrics ride the listener bus (north rule:
     // accumulators AND listeners); snapshot lands in the manifest

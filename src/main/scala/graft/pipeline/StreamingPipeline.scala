@@ -24,10 +24,18 @@ object StreamingPipeline {
   private def snapId(batchId: Long): String = f"stream-$batchId%06d"
 
   /** Idempotent per-batch sink: contracts + lineage into the batch's own
-    * snapshot partition (dynamic overwrite), manifest seq = batchId, so
-    * replaying a batch replaces its partition byte-for-byte. */
+    * snapshot partition (dynamic overwrite), so replaying a batch replaces
+    * its partition byte-for-byte. The manifest seq follows the same rule
+    * as batch runs — an existing id keeps its slot (replay idempotency), a
+    * new one takes max(existing)+1 — NOT the raw batchId, which would
+    * collide with batch-mode seqs when a stream writes into an outDir that
+    * already holds `Pipeline.run` snapshots and corrupt asOf ordering. */
   def writeBatch(batch: Dataset[ExtractedDoc], batchId: Long, outDir: String): Unit = {
     val id = snapId(batchId)
+    Pipeline.assertSnapshotLayout(outDir)
+    val prior = graft.io.Snapshots.list(outDir)
+    val seq = prior.find(_.snapshotId == id).map(_.seq)
+      .getOrElse(prior.map(_.seq).maxOption.map(_ + 1).getOrElse(0L))
     val persisted = batch.persist()
     try {
       persisted.toDF().withColumn("snapshot_id", lit(id))
@@ -42,7 +50,7 @@ object StreamingPipeline {
         coalesce(sum(when(col("status") === "ok", col("n_spans").cast("long"))), lit(0L)))
         .head()
       val manifest =
-        s"""{"snapshot_id":"$id","docs_ok":${r.getLong(0)},"docs_err":${r.getLong(1)},"spans_seen":${r.getLong(2)},"seq":$batchId}"""
+        s"""{"snapshot_id":"$id","docs_ok":${r.getLong(0)},"docs_err":${r.getLong(1)},"spans_seen":${r.getLong(2)},"seq":$seq}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/_manifest_$id.json"), manifest)

@@ -235,18 +235,30 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.minhashCandidates(df, "doc_id", "text",
       maxBucket = 10, droppedRows = Some(acc))
     assert(pairs.count() == 0) // correct behavior: the viral bucket is dropped
-    assert(acc.value >= 40, s"dropped rows not reported: ${acc.value}") // ...but visibly
+    // EXACT count (40 viral docs x 4 bands), not at-least-once: the old
+    // per-row counting UDF saw each drop once per self-join side and once
+    // per pass — up to 6x overcount in the reported coverage loss
+    assert(acc.value == 160, s"dropped rows miscounted: ${acc.value}")
+    pairs.count() // re-evaluating the plan must not inflate the counter
+    assert(acc.value == 160, s"drop count not stable across evaluations: ${acc.value}")
     val acc2 = spark.sparkContext.longAccumulator("simhash_dropped")
     Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3,
       maxBucket = 10, droppedRows = Some(acc2)).count()
-    assert(acc2.value >= 40, s"simhash dropped rows not reported: ${acc2.value}")
+    assert(acc2.value == 160, s"simhash dropped rows miscounted: ${acc2.value}")
+    // the resolution layer threads the counter through to its generator:
+    // a capped-away viral cluster must not read as a dup-free corpus
+    val accR = spark.sparkContext.longAccumulator("resolve_dropped")
+    val resolved = Dedup.resolveNearDups(df, "doc_id", "text", threshold = 0.5,
+      maxBucket = 10, droppedRows = Some(accR))
+    assert(resolved.filter("is_keeper = 0").count() == 0) // all singletons...
+    assert(accR.value == 160, s"resolveNearDups drop not reported: ${accR.value}")
     val acc3 = spark.sparkContext.longAccumulator("neardup_dropped")
     val clone = Seq.tabulate(16)(i => i * 0.1f - 0.8f)
     val vecs = (1L to 40L).map(i => (i, clone)).toDF("vec_id", "embedding")
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     ops.Ann.neardupPairs(vecs, "vec_id", "embedding", 0.9, 16,
       nBits = 4, maxBucket = 10, droppedRows = Some(acc3)).count()
-    assert(acc3.value >= 40, s"neardup dropped rows not reported: ${acc3.value}")
+    assert(acc3.value == 40, s"neardup dropped rows miscounted: ${acc3.value}")
   }
 
   test("IVF ANN: deterministic centroids, recall >= 0.9 on planted neighbors") {

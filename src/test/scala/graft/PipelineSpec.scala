@@ -132,6 +132,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(atA.contracts.count() == idsA.size)
   }
 
+  test("pending: a doc whose LATEST snapshot errored is reprocessed despite an older ok record") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val subset = docs.orderBy("doc_id").limit(20).as[Doc]
+    val (okA, errA) = Pipeline.run(spark, subset, out, "snap-a")
+    assert(okA == 20 && errA == 0)
+    // same ids, broken payload: every doc soft-fails in snap-b
+    val broken = subset.map(d => Doc(d.doc_id, null))
+    val (okB, errB) = Pipeline.run(spark, broken, out, "snap-b")
+    assert(okB == 0 && errB == 20)
+    // the raw union ledger still holds snap-a's ok rows; the resume
+    // decision must come from each doc's LATEST record (all errored)
+    assert(graft.io.Snapshots.pending(spark, subset, out).count() == 20)
+    // time travel: as of snap-a everything was ok, nothing pending
+    assert(graft.io.Snapshots.resumeAsOf(subset, out, "snap-a").count() == 0)
+  }
+
+  test("legacy seq-less manifests keep stable slots; new snapshots take the next seq") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // a manifest written before the seq field existed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_manifest_old.json"),
+      """{"snapshot_id":"old","docs_ok":7,"docs_err":0,"spans_seen":9}""")
+    // "alpha" sorts BEFORE "old" by filename: positional indexing over the
+    // combined listing would hand the legacy manifest seq 1 == alpha's and
+    // corrupt latest()/asOf() ordering
+    Pipeline.run(spark, docs.orderBy("doc_id").limit(5).as[Doc], out, "alpha")
+    val ms = graft.io.Snapshots.list(out)
+    assert(ms.map(m => (m.snapshotId, m.seq)) == Seq(("old", 0L), ("alpha", 1L)), ms.toString)
+    assert(graft.io.Snapshots.latest(out).map(_.snapshotId).contains("alpha"))
+  }
+
+  test("run refuses a pre-snapshot flat parquet layout instead of half-writing into it") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    // a flat, unpartitioned contracts table from the old writer
+    spark.range(3).toDF().write.parquet(s"$out/contracts")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.limit(1).as[Doc], out, "snap-x")
+    }
+    assert(e.getMessage.contains("flat parquet"), e.getMessage)
+  }
+
   test("retry queue filter (S1)") {
     import spark.implicits._
     val state = Seq(

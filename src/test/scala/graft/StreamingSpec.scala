@@ -116,6 +116,32 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay appended duplicates")
   }
 
+  test("streaming into an outDir seeded by batch runs: seqs extend, never collide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mixed-seq").toString
+    val all = gen.Corpus.corpus(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(20).as[graft.model.Doc].collect()
+    val (a, b) = all.splitAt(10)
+    // batch snapshot first (seq 0), then a stream batch lands in the SAME
+    // outDir: raw batchId-as-seq would also be 0, making asOf('boot')
+    // include the stream partition — time travel to the pre-stream state
+    // must exclude it
+    pipeline.Pipeline.run(spark, a.toSeq.toDS(), outDir, "boot")
+    pipeline.StreamingPipeline.writeBatch(
+      pipeline.Pipeline.extract(b.toSeq.toDS()), 0L, outDir)
+    val ms = graft.io.Snapshots.list(outDir)
+    assert(ms.map(m => (m.snapshotId, m.seq)) ==
+      Seq(("boot", 0L), ("stream-000000", 1L)), ms.toString)
+    val atBoot = graft.io.Snapshots.asOf(spark, outDir, "boot")
+    assert(atBoot.contracts.filter(col("snapshot_id") =!= "boot").count() == 0)
+    assert(atBoot.contracts.count() == 10)
+    // replaying the stream batch keeps its seq slot (idempotent manifest)
+    pipeline.StreamingPipeline.writeBatch(
+      pipeline.Pipeline.extract(b.toSeq.toDS()), 0L, outDir)
+    assert(graft.io.Snapshots.list(outDir).map(_.seq) == Seq(0L, 1L))
+  }
+
   test("stateful retry queue via mapGroupsWithState (S1 streaming twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

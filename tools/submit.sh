@@ -13,7 +13,14 @@ cd "$(dirname "$0")/.."
 CLASS=${1:-graft.Bench}
 CORES=${2:-32}
 shift 2 2>/dev/null || shift $# 2>/dev/null || true
-sbt -batch package > /dev/null 2>&1
+# keep the build log: under set -e a silent compile failure would kill
+# the script with no diagnostics at all
+SBT_LOG=$(mktemp /tmp/graft-sbt-package.XXXXXX.log)
+if ! sbt -batch package > "$SBT_LOG" 2>&1; then
+  echo "sbt package failed; last 30 log lines ($SBT_LOG):" >&2
+  tail -30 "$SBT_LOG" >&2
+  exit 1
+fi
 JAR=$(ls target/scala-2.13/graft*.jar 2>/dev/null | head -1)
 [ -z "$JAR" ] && JAR=$(ls target/scala-2.13/*.jar | head -1)
 export SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}
