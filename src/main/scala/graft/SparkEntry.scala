@@ -98,6 +98,37 @@ object SparkEntry {
           when(col("doc_id") === col("component"), 1).otherwise(0))
         .orderBy("doc_id")
     }),
+    // D8 — embedding-space twin of d07: the d06 brute-force cosine pairs
+    // (value-exact vs the oracle) as edges, closed by the real CC operator,
+    // keeper = min vec_id. Oracle: DuckDB recursive CTE (D08OracleDuck).
+    // The LSH scale path for the same decision is x16_embed_components.
+    "d08_embed_components" -> ((s: SparkSession, dir: String) => {
+      val edges = runShared(shared("d06_embed_neardup")._1)(s, dir)
+        .select("vec_a", "vec_b")
+      val cc = ops.Dedup.connectedComponents(edges, "vec_a", "vec_b")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"))
+      emb.join(cc, emb("vec_id") === cc("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("is_keeper",
+          when(col("vec_id") === col("component"), 1).otherwise(0))
+        .orderBy("vec_id")
+    }),
+    "x16_embed_components" -> ((s: SparkSession, dir: String) => {
+      // scale path for d08: OR-amplified LSH candidates -> cosine verify ->
+      // components -> keepers, end to end. Threshold 0.9 (SemDeDup-style
+      // true near-dups), NOT d08's 0.4: at cos 0.9 a pair survives a table
+      // with p = (1-theta/pi)^8 ~= 0.29, so 4 tables recall ~0.76 of edges
+      // and ~1.0 of clone edges (OpsSpec pins cluster recall). At cos 0.4
+      // the per-bit gap vs random pairs (0.63 vs 0.5) is too small for ANY
+      // (nBits, L) to be selective and high-recall at once — mid-similarity
+      // mining is the brute path's job (d08, the value-exact baseline).
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      ops.Ann.resolveNearDups(emb, "vec_id", "embedding", 0.9, dim = 64,
+          nBits = 8, nTables = 4)
+        .orderBy("vec_id")
+    }),
     "x05_minhash_pairs" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       ops.Dedup.minhashCandidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
@@ -244,5 +275,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     shared.map { case (name, (_, duckSql)) => name -> duckSql } +
       ("v04_schema_export" -> SchemaExportOracle) +
-      ("d07_dedup_components" -> TrainingQueries.D07OracleDuck)
+      ("d07_dedup_components" -> TrainingQueries.D07OracleDuck) +
+      ("d08_embed_components" -> TrainingQueries.D08OracleDuck)
 }

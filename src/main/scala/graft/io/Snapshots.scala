@@ -127,6 +127,27 @@ object Snapshots {
     SnapshotView(snapshotId, contracts, led)
   }
 
+  /** Incremental read (the Iceberg `incremental-between-snapshots` shape):
+    * the contract rows that BECAME authoritative in (from, to] — docs first
+    * processed or REprocessed by a snapshot in that range, each resolved to
+    * its latest included row. A downstream consumer (training-data refresh,
+    * index update) reads exactly the delta instead of rescanning the table:
+    * partition-pruned to the newer snapshots, keep-latest via `asOf`.
+    * `changes(a, a)` is empty by definition. */
+  def changes(spark: SparkSession, outDir: String,
+              fromId: String, toId: String): DataFrame = {
+    val ms = list(outDir)
+    def seqOf(id: String): Long = ms.find(_.snapshotId == id)
+      .getOrElse(sys.error(s"unknown snapshot '$id' in $outDir " +
+        s"(have: ${ms.map(_.snapshotId).mkString(", ")})")).seq
+    val (fromSeq, toSeq) = (seqOf(fromId), seqOf(toId))
+    require(fromSeq <= toSeq,
+      s"changes: '$fromId' (seq $fromSeq) is newer than '$toId' (seq $toSeq)")
+    val newer = ms.filter(m => m.seq > fromSeq && m.seq <= toSeq).map(_.snapshotId)
+    val atTo = asOf(spark, outDir, toId).contracts
+    if (newer.isEmpty) atTo.limit(0) else atTo.filter(col("snapshot_id").isin(newer: _*))
+  }
+
   /** Resume against the ledger AS OF a snapshot: docs whose latest record
     * AT THAT POINT is not 'ok' — i.e. everything later snapshots did (or
     * new work) gets reprocessed. Latest-per-doc within the included

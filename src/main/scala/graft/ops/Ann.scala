@@ -272,4 +272,26 @@ object Ann {
       .orderBy(desc("cos_sim"), col(idCol))
       .limit(k)
   }
+
+  /** Embedding-side near-dup RESOLUTION — the decision layer over
+    * `neardupPairs`, mirroring `Dedup.resolveNearDups` on the text path:
+    * OR-amplified LSH candidate pairs above the cosine threshold become an
+    * undirected similarity graph, closed into components by the same
+    * large-star/small-star operator, keeper = min id per component. A
+    * semantic-dup cluster (A~B, B~C) yields exactly one keeper even though
+    * (A, C) never collided in any table. Scale shape: LSH equi-joins +
+    * O(log n) CC rounds, never all-pairs. */
+  def resolveNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, nBits: Int = 8,
+                      maxBucket: Int = 10000, nTables: Int = 1,
+                      droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val pairs = neardupPairs(embeddings, idCol, vecCol, threshold, dim,
+      nBits, maxBucket, nTables, droppedRows)
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    embeddings.select(col(idCol).cast("long").as("vec_id"))
+      .join(cc, col("vec_id") === cc("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("is_keeper", when(col("vec_id") === col("component"), 1).otherwise(0))
+  }
 }

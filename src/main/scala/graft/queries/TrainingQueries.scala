@@ -37,6 +37,27 @@ object TrainingQueries {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB-only oracle for d08_embed_components: the d06 brute-force
+    * cosine pairs as edges, closed transitively with a recursive CTE,
+    * keeper = min vec_id per component — the embedding-space twin of
+    * D07OracleDuck (the Spark side runs the real large-star/small-star
+    * operator over the same d06 edges). */
+  val D08OracleDuck: String = {
+    val sim = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE round($sim, 6) >= 0.4),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM pairs),
+       |reach AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS vec_id, min(comp) AS component,
+       |  CASE WHEN id = min(comp) THEN 1 ELSE 0 END AS is_keeper
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key
@@ -142,6 +163,44 @@ object TrainingQueries {
       val bpe = d.size("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
       s"""SELECT doc_id, $ws AS ws_tokens, $bpe AS bpe_tokens, length(text) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T5 — Gopher-style repetition & lexical-diversity signals (Rae et al.
+    // 2021 §A.1.1 quality filters: top-word fraction, duplicate-line
+    // fraction, unique-word fraction). Word frequencies via explode +
+    // TWO-LEVEL hash aggregate — (doc, word) counts get map-side partial
+    // aggregation, the 10^12-doc scale shape; line stats are narrow array
+    // HOFs over the planted contract text (which carries real newlines,
+    // markdown tables and headings).
+    "t05_repetition" -> q { d =>
+      val ctext = Dialect.Ctext
+      val w = s"regexp_extract_all(lower($ctext), '[a-z0-9]+', 0)"
+      val rawLines =
+        if (d.isSpark) s"split($ctext, '\\n')"
+        else s"string_split_regex($ctext, '\\n')"
+      val nel = d.lfilter(rawLines, "x -> x <> ''")
+      val ldist = if (d.isSpark) "array_distinct" else "list_distinct"
+      val joined =
+        if (d.isSpark) "array_join(w, '')"
+        else "coalesce(array_to_string(w, ''), '')"
+      val un = if (d.isSpark) "explode(w)" else "unnest(w)"
+      s"""WITH base AS (SELECT doc_id, $nel AS nel, $w AS w FROM documents),
+         |wx AS (SELECT doc_id, $un AS word FROM base),
+         |c AS (SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY doc_id, word),
+         |wf AS (SELECT doc_id, sum(cnt) AS total, max(cnt) AS top_cnt, count(*) AS uniq FROM c GROUP BY doc_id),
+         |lf AS (SELECT doc_id, ${d.size("nel")} AS n_lines,
+         |  round(1e0 - ${d.size(s"$ldist(nel)")} * 1e0 / nullif(${d.size("nel")}, 0), 6) AS dup_line_frac,
+         |  round(${d.size(d.lfilter("nel", "x -> x LIKE '|%' OR x LIKE '#%'"))} * 1e0 / nullif(${d.size("nel")}, 0), 6) AS markup_line_frac,
+         |  round(length($joined) * 1e0 / nullif(${d.size("w")}, 0), 6) AS mean_word_len
+         |  FROM base)
+         |SELECT l.doc_id AS doc_id, l.n_lines, l.dup_line_frac, l.markup_line_frac, l.mean_word_len,
+         |  round(f.top_cnt * 1e0 / nullif(f.total, 0), 6) AS top_word_frac,
+         |  round(f.uniq * 1e0 / nullif(f.total, 0), 6) AS unique_word_frac,
+         |  CASE WHEN f.top_cnt * 1e0 / nullif(f.total, 0) <= 0.2
+         |        AND f.uniq * 1e0 / nullif(f.total, 0) >= 0.3
+         |        AND l.dup_line_frac <= 0.3 THEN 1 ELSE 0 END AS keep
+         |FROM lf l JOIN wf f ON l.doc_id = f.doc_id
+         |ORDER BY l.doc_id""".stripMargin.replace("\n", " ")
     },
 
     // T4 — document fingerprint: md5 over normalized content

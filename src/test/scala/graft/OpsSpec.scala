@@ -261,6 +261,36 @@ class OpsSpec extends AnyFunSuite {
     assert(acc3.value == 40, s"neardup dropped rows miscounted: ${acc3.value}")
   }
 
+  test("embedding near-dup resolution: clone clusters collapse to one keeper each") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 64
+    def rand(seed: Long): Seq[Float] =
+      Seq.tabulate(dim)(i => (mix(seed * 104729 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    // 3 planted clusters of 3 identical vectors + isolated noise
+    val clusters = (1L to 3L).flatMap { c =>
+      val v = rand(c)
+      Seq((c, v), (c + 100L, v), (c + 200L, v))
+    }
+    val noise = (11L to 60L).map(i => (i, rand(i * 31 + 7)))
+    val emb = (clusters ++ noise).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val resolved = ops.Ann.resolveNearDups(emb, "vec_id", "embedding",
+      threshold = 0.99, dim, nBits = 8, nTables = 4).cache()
+    assert(resolved.count() == clusters.size + noise.size) // one row per vector
+    // each cluster: one keeper (the min id), members share its component
+    for (c <- 1L to 3L) {
+      val rows = resolved.filter($"vec_id".isin(c, c + 100L, c + 200L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.map(_._2).toSet == Set(c), s"cluster $c components: ${rows.mkString(",")}")
+      assert(rows.collect { case (id, _, 1) => id }.toSeq == Seq(c), s"cluster $c keepers")
+    }
+    // isolated vectors keep themselves
+    assert(resolved.filter($"vec_id" >= 11L && $"vec_id" <= 60L)
+      .filter($"is_keeper" === 0).count() == 0)
+    resolved.unpersist()
+  }
+
   test("IVF ANN: deterministic centroids, recall >= 0.9 on planted neighbors") {
     import spark.implicits._
     import graft.gen.Corpus.mix

@@ -149,6 +149,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.io.Snapshots.resumeAsOf(subset, out, "snap-a").count() == 0)
   }
 
+  test("incremental read: changes(from, to) is exactly the delta that became authoritative") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-changes").toString
+    val ordered = docs.orderBy("doc_id").limit(20).as[Doc]
+    val a = ordered.limit(15)                      // snap-a: docs 1..15
+    val b = ordered.orderBy(desc("doc_id")).limit(10).as[Doc] // snap-b: 11..20 (5 reprocessed, 5 new)
+    Pipeline.run(spark, a, out, "snap-a")
+    Pipeline.run(spark, b, out, "snap-b")
+    val bIds = b.select("doc_id").collect().map(_.getString(0)).toSet
+    val delta = graft.io.Snapshots.changes(spark, out, "snap-a", "snap-b")
+    assert(delta.select("contract.doc_id").collect().map(_.getString(0)).toSet == bIds)
+    assert(delta.filter(col("snapshot_id") =!= "snap-b").count() == 0)
+    // self-delta is empty; inverted range fails loudly
+    assert(graft.io.Snapshots.changes(spark, out, "snap-b", "snap-b").count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.io.Snapshots.changes(spark, out, "snap-b", "snap-a")
+    }
+  }
+
   test("legacy seq-less manifests keep stable slots; new snapshots take the next seq") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-legacy").toString

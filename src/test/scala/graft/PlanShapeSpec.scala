@@ -118,6 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("t05 repetition signals: partial hash aggregates, no sort-agg, no cartesian") {
+    val p = plan("t05_repetition")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the (doc, word) counts must be a partial (map-side) HASH aggregate —
+    // the two-level combine is what keeps the word explode linear at scale
+    assert(p.contains("partial_count("), p.take(3000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
