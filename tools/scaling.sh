@@ -65,6 +65,12 @@ Reference single-node baseline (/root/repo/BASELINE.md): 0.067-1 docs/s
 (sequential per-doc API calls). This engine exceeds it by >4 orders of
 magnitude per node; the target at 100 TB is the scaling curve above.
 """
-open('BENCH/SCALING_THREADS.md', 'w').write(md)
+# Raw output only: the curated evidence doc (BENCH/SCALING_THREADS.md)
+# carries the cross-round history and window notes and is maintained by
+# hand — a contended-window rerun must not clobber it.
+open('BENCH/scaling_threads_latest.md', 'w').write(md)
+with open('BENCH/scaling_samples.log', 'a') as f:
+    for s in samples:
+        f.write(json.dumps(s) + '\n')
 print(f'scaling_efficiency={eff:.3f}')
 EOF
