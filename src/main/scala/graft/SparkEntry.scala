@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{ExtractQueries, RelationalQueries, SinkQueries, TrainingQueries, ValidationQueries}
+import graft.queries.{ExtractQueries, LayoutQueries, RelationalQueries, SinkQueries, TrainingQueries, ValidationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
 
   private val shared: Map[String, (String, String)] =
     ExtractQueries.all ++ RelationalQueries.all ++ TrainingQueries.all ++
-      SinkQueries.all ++ ValidationQueries.all
+      SinkQueries.all ++ ValidationQueries.all ++ LayoutQueries.all
 
   /** Register the parquet tables a query mentions and run its Spark SQL.
     * escapedStringLiterals makes Spark read regex literals verbatim, the
@@ -227,6 +227,15 @@ object SparkEntry {
         }
       }.toDF("model", "pos", "field", "sql_type", "nullable")
         .orderBy("model", "pos")
+    }),
+    // L1-L5 typed twin — the distributed Marker-style layout pass
+    // (extract/Layout.scala): same page geometry as the l0* oracle queries,
+    // laid out by the typed per-page operator (one shuffle on doc, then a
+    // narrow fold). LayoutSpec pins typed == l04 SQL value-exact.
+    "x17_layout_typed" -> ((s: SparkSession, dir: String) => {
+      val lines = runShared(
+        "WITH " + LayoutQueries.Lines.replace("\n", " ") + " SELECT * FROM lines")(s, dir)
+      graft.extract.Layout.layoutBlocks(lines).orderBy("doc", "block_id")
     }),
     "x09_boiler_strip" -> ((s: SparkSession, dir: String) => {
       import s.implicits._

@@ -1,0 +1,152 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Marker-style 2-D layout parse (SRC1/SRC2 semantics, north rule: "block
+  * segmentation, reading-order sort, table/figure detection").
+  *
+  * The reference delegates this step to the Marker library
+  * (services/pdf_converter.py:178-285 drives it; the block-JSON shape it
+  * consumes back is :353-359) — layout itself happens inside Marker's
+  * layout model. This module re-derives the layout pass from the page
+  * geometry with deterministic, SQL-twin-able rules:
+  *
+  *  1. **Column detection** — classic x-interval merge (the 1-D projection
+  *     step of recursive XY-cut): scan line boxes by (x0, line_id); a box
+  *     starts a new column iff its x0 lies strictly right of the running
+  *     max x1 of all boxes scanned so far. Overlapping/touching x-intervals
+  *     share a column.
+  *  2. **Reading order** — sort by (column, y0, x0, line_id): columns
+  *     left-to-right, top-to-bottom within a column — Marker's reading
+  *     order for multi-column pages.
+  *  3. **Block segmentation** — within a column, y-sorted lines merge into
+  *     one block while the gap to the running max y1 is ≤ `VGap`; block ids
+  *     are global per page in reading order.
+  *  4. **Figure detection** — a single-line block taller than
+  *     `FigMinHeight` is a figure region (image regions have no line
+  *     structure); it gets a media_ref.
+  *  5. **Table detection** — a y-row with cells in ≥ 2 distinct columns is
+  *     a table row; ≥ 2 table rows make a table region, and a block with
+  *     ≥ 2 of its lines on table rows is a table block.
+  *
+  * Every rule is integer arithmetic over sorted sequences, so each has a
+  * window-function SQL twin (queries/LayoutQueries.scala l01–l04,
+  * oracle-checked value-exact vs DuckDB); LayoutSpec additionally pins
+  * typed-vs-SQL equality on real derived pages and the human-expected
+  * order on a crafted two-column page.
+  *
+  * Scale: the typed path runs per page group — `layoutBlocks` shuffles once
+  * on doc_id and everything after is a per-group fold (no further exchange,
+  * no sort of the whole corpus). When pages arrive pre-nested (the
+  * interleaved input shape), the pure functions apply inside the existing
+  * narrow per-doc map with zero shuffles.
+  */
+object Layout {
+
+  /** Vertical merge gap: consecutive lines ≤ VGap apart join one block. */
+  val VGap = 13
+  /** Minimum height for a single-line block to classify as a figure. */
+  val FigMinHeight = 35
+
+  /** A positioned line box on a page (layout IR before text assembly). */
+  case class Box(line_id: Long, x0: Int, y0: Int, x1: Int, y1: Int)
+
+  /** A segmented block: global per-page id in reading order, extent,
+    * line count, and kind ∈ {text, table, figure}. */
+  case class Block(block_id: Int, col: Int, n_lines: Int,
+                   x0: Int, y0: Int, x1: Int, y1: Int, kind: String)
+
+  /** 1. Column id per line (x-interval merge, new column iff
+    * x0 > running max x1 over the (x0, line_id) scan). */
+  def columnOf(boxes: Seq[Box]): Map[Long, Int] = {
+    var maxX1 = Int.MinValue
+    var colId = -1
+    val out = Map.newBuilder[Long, Int]
+    for (b <- boxes.sortBy(b => (b.x0, b.line_id))) {
+      if (colId < 0 || b.x0 > maxX1) colId += 1
+      if (b.x1 > maxX1) maxX1 = b.x1
+      out += b.line_id -> colId
+    }
+    out.result()
+  }
+
+  /** 2. Reading order: (line, col, 1-based rank) sorted by
+    * (col, y0, x0, line_id). */
+  def readingOrder(boxes: Seq[Box]): Seq[(Box, Int, Int)] = {
+    val cols = columnOf(boxes)
+    boxes.sortBy(b => (cols(b.line_id), b.y0, b.x0, b.line_id))
+      .zipWithIndex
+      .map { case (b, i) => (b, cols(b.line_id), i + 1) }
+  }
+
+  /** Table-row y0s: y-rows whose lines span ≥ 2 distinct columns. */
+  def tableRowYs(boxes: Seq[Box]): Set[Int] = {
+    val cols = columnOf(boxes)
+    boxes.groupBy(_.y0).collect {
+      case (y, bs) if bs.map(b => cols(b.line_id)).distinct.size >= 2 => y
+    }.toSet
+  }
+
+  /** 3.–5. Segment lines into blocks and classify each block.
+    * Returns blocks with global per-page ids in reading order. */
+  def segments(boxes: Seq[Box]): Seq[Block] = {
+    val cols = columnOf(boxes)
+    val tys = tableRowYs(boxes)
+    val ordered = boxes.sortBy(b => (cols(b.line_id), b.y0, b.line_id))
+    var curCol = -1
+    var prevY1 = Int.MinValue
+    var blockId = -1
+    val tagged = ordered.map { b =>
+      val c = cols(b.line_id)
+      val newBlock = c != curCol || b.y0 - prevY1 > VGap
+      if (c != curCol) { curCol = c; prevY1 = Int.MinValue }
+      if (newBlock) blockId += 1
+      if (b.y1 > prevY1) prevY1 = b.y1
+      (blockId, c, b)
+    }
+    tagged.groupBy(_._1).toSeq.sortBy(_._1).map { case (blk, ts) =>
+      val bs = ts.map(_._3)
+      val height = bs.map(_.y1).max - bs.map(_.y0).min
+      val kind =
+        if (bs.size == 1 && height >= FigMinHeight) "figure"
+        else if (bs.count(b => tys(b.y0)) >= 2) "table"
+        else "text"
+      Block(blk, ts.head._2, bs.size, bs.map(_.x0).min, bs.map(_.y0).min,
+        bs.map(_.x1).max, bs.map(_.y1).max, kind)
+    }
+  }
+
+  /** Per-page table stats (the l03 twin): number of table rows, number of
+    * cells on them, and the ≥2-row table flag. */
+  def tableStat(boxes: Seq[Box]): (Int, Int, Boolean) = {
+    val tys = tableRowYs(boxes)
+    val cells = boxes.count(b => tys(b.y0))
+    (tys.size, cells, tys.size >= 2)
+  }
+
+  /** Distributed typed path: one shuffle on `doc`, then a per-page fold.
+    * Input columns: doc (long), line_id (int/long), x0, y0, x1, y1 (int).
+    * Output: one row per block, ids in reading order — the interleaved
+    * span sequence a downstream `Extract` pass consumes. */
+  def layoutBlocks(lines: DataFrame): DataFrame = {
+    val spark: SparkSession = lines.sparkSession
+    import spark.implicits._
+    lines
+      .select(col("doc").cast("long"), col("line_id").cast("long"),
+        col("x0").cast("int"), col("y0").cast("int"),
+        col("x1").cast("int"), col("y1").cast("int"))
+      .as[(Long, Long, Int, Int, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val boxes = it.map(r => Box(r._2, r._3, r._4, r._5, r._6)).toSeq
+        segments(boxes).map { b =>
+          (doc, b.block_id, b.kind,
+            if (b.kind == "figure") s"img_${doc}_${b.block_id}" else "",
+            b.n_lines, b.x0, b.y0, b.x1, b.y1)
+        }
+      }
+      .toDF("doc", "block_id", "kind", "media_ref", "n_lines",
+        "x0", "y0", "x1", "y1")
+  }
+}

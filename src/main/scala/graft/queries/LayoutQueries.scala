@@ -1,0 +1,154 @@
+package graft.queries
+
+/** SQL twins of the Marker-style layout pass (extract/Layout.scala) —
+  * column detection, reading order, block segmentation, figure/table
+  * detection — oracle-checked value-exact vs DuckDB (SURVEY §2.1 SRC1/SRC2
+  * layout semantics; north rule "block segmentation, reading-order sort,
+  * table/figure detection").
+  *
+  * Input pages are derived deterministically from `lineitem` (the j02
+  * pattern): one line box per lineitem row, two x-disjoint column bands
+  * with intra-column jitter (exercises the interval merge), a y grid from
+  * quantity (adjacent grid lines merge, skipped slots split blocks), and
+  * occasional tall lines (suppkey % 11) that become figure regions.
+  *
+  * Every rule is a window function over integer geometry, identical in
+  * both dialects:
+  *  - column id  = cumulative count of "x0 > running max x1" breaks over
+  *    the (x0, line_id) scan (1-D interval merge);
+  *  - reading order = row_number over (col, y0, x0, line_id);
+  *  - block id   = cumulative count of "y gap > VGap(13) or new column"
+  *    breaks over the (col, y0, line_id) scan;
+  *  - figure     = single-line block with height ≥ 35;
+  *  - table row  = same y0 across ≥ 2 distinct columns; table = ≥ 2 rows.
+  *
+  * Spark plan shape (plan-guarded in PlanShapeSpec): one wide exchange —
+  * hash by doc — feeds every window (l01/l02 run start to finish on that
+  * single shuffle; the doc alias is applied BELOW the first window so
+  * alias-aware partitioning propagates). l03/l04's table aggregations and
+  * the block↔table-row join exchange only pre-aggregated (doc, y0) rows,
+  * never the line set, and table-row detection is a min<>max hash agg,
+  * not a count-distinct expand.
+  */
+object LayoutQueries {
+
+  private def q(body: D => String): (String, String) =
+    (body(Dialect.Spark), body(Dialect.Duck))
+
+  /** Deterministic page geometry from lineitem (shared dialect subset).
+    * line_id is a per-doc row_number, NOT l_linenumber — the synthetic
+    * lineitem contains duplicate (orderkey, linenumber) pairs, and the
+    * typed twin keys its column map by line_id; full-column ties order
+    * identical rows, so the output set is engine-invariant. */
+  val Lines: String =
+    """lines AS (
+      |  SELECT doc,
+      |         CAST(row_number() OVER (PARTITION BY doc
+      |              ORDER BY ln, pk, sk, qty, ep) AS INT) AS line_id,
+      |         x0, x1, y0, y1
+      |  FROM (
+      |    SELECT l_orderkey AS doc, l_linenumber AS ln, l_partkey AS pk,
+      |           l_suppkey AS sk, l_quantity AS qty, l_extendedprice AS ep,
+      |           CAST(l_partkey % 2 AS INT) * 50 + CAST(l_suppkey % 3 AS INT) AS x0,
+      |           CAST(l_partkey % 2 AS INT) * 50 + CAST(l_suppkey % 3 AS INT)
+      |             + 38 + CAST(l_partkey % 5 AS INT) AS x1,
+      |           CAST(floor(l_quantity) AS INT) % 25 * 12 AS y0,
+      |           CAST(floor(l_quantity) AS INT) % 25 * 12
+      |             + CASE WHEN l_suppkey % 11 = 0 THEN 40 ELSE 10 END AS y1
+      |    FROM lineitem) raw)""".stripMargin
+
+  /** Column assignment: interval merge via running-max window + cumsum. */
+  private val Cols: String =
+    """ord AS (
+      |  SELECT *, max(x1) OVER (PARTITION BY doc ORDER BY x0, line_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_x1
+      |  FROM lines),
+      |cols AS (
+      |  SELECT doc, line_id, x0, y0, x1, y1,
+      |         CAST(sum(CASE WHEN prev_x1 IS NULL OR x0 > prev_x1 THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY doc ORDER BY x0, line_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) - 1 AS col
+      |  FROM ord)""".stripMargin
+
+  /** Line-level block ids: per-column y-gap breaks, global cumsum in
+    * reading order. */
+  private val Blocks: String =
+    """seg AS (
+      |  SELECT *, max(y1) OVER (PARTITION BY doc, col ORDER BY y0, line_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_y1
+      |  FROM cols),
+      |blocks AS (
+      |  SELECT doc, line_id, x0, y0, x1, y1, col,
+      |         CAST(sum(CASE WHEN prev_y1 IS NULL OR y0 - prev_y1 > 13 THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY doc ORDER BY col, y0, line_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) - 1 AS block_id
+      |  FROM seg)""".stripMargin
+
+  /** Table-row y0s: ≥ 2 distinct columns aligned on one y. col is an int,
+    * so "≥ 2 distinct" is min <> max — a plain hash agg, no count-distinct
+    * expand. */
+  private val TableRows: String =
+    """trows AS (
+      |  SELECT doc, y0 FROM cols
+      |  GROUP BY doc, y0 HAVING min(col) <> max(col))""".stripMargin
+
+  private def sql(s: String): String =
+    s.stripMargin.replace("\n", " ").replaceAll("\\s+", " ").trim
+
+  val all: Map[String, (String, String)] = Map(
+
+    // L1 — column detection + reading-order sort (XY-cut projection step)
+    "l01_reading_order" -> q { _ =>
+      sql(s"""WITH $Lines, $Cols
+        |SELECT doc, line_id, col,
+        |       CAST(row_number() OVER (PARTITION BY doc
+        |            ORDER BY col, y0, x0, line_id) AS INT) AS reading_rank
+        |FROM cols ORDER BY doc, line_id""")
+    },
+
+    // L2 — block segmentation: merged extents, line counts, figure flag
+    "l02_block_segments" -> q { _ =>
+      sql(s"""WITH $Lines, $Cols, $Blocks
+        |SELECT doc, block_id, col,
+        |       CAST(count(*) AS INT) AS n_lines,
+        |       min(x0) AS bx0, min(y0) AS by0, max(x1) AS bx1, max(y1) AS by1,
+        |       CASE WHEN count(*) = 1 AND max(y1) - min(y0) >= 35
+        |            THEN 1 ELSE 0 END AS is_figure
+        |FROM blocks GROUP BY doc, block_id, col
+        |ORDER BY doc, block_id""")
+    },
+
+    // L3 — table detection: aligned-row grid stats per page
+    "l03_table_detect" -> q { _ =>
+      sql(s"""WITH $Lines, $Cols, $TableRows,
+        |cells AS (
+        |  SELECT c.doc, c.y0, CAST(count(*) AS INT) AS n_cells
+        |  FROM cols c JOIN trows t ON c.doc = t.doc AND c.y0 = t.y0
+        |  GROUP BY c.doc, c.y0)
+        |SELECT doc, CAST(count(*) AS INT) AS n_table_rows,
+        |       CAST(sum(n_cells) AS INT) AS n_cells,
+        |       CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS is_table
+        |FROM cells GROUP BY doc ORDER BY doc""")
+    },
+
+    // L4 — block classification: figure / table / text + media_ref
+    "l04_block_kinds" -> q { _ =>
+      sql(s"""WITH $Lines, $Cols, $Blocks, $TableRows,
+        |blk AS (
+        |  SELECT b.doc, b.block_id,
+        |         CAST(count(*) AS INT) AS n_lines,
+        |         max(b.y1) - min(b.y0) AS height,
+        |         CAST(sum(CASE WHEN t.y0 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_table_lines
+        |  FROM blocks b LEFT JOIN trows t ON b.doc = t.doc AND b.y0 = t.y0
+        |  GROUP BY b.doc, b.block_id)
+        |SELECT doc, block_id,
+        |       CASE WHEN n_lines = 1 AND height >= 35 THEN 'figure'
+        |            WHEN n_table_lines >= 2 THEN 'table'
+        |            ELSE 'text' END AS kind,
+        |       CASE WHEN n_lines = 1 AND height >= 35
+        |            THEN 'img_' || CAST(doc AS STRING) || '_' || CAST(block_id AS STRING)
+        |            ELSE '' END AS media_ref
+        |FROM blk ORDER BY doc, block_id""")
+    }
+  )
+}

@@ -129,6 +129,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("l01/l02 layout windows: single wide exchange (hash by doc), no cartesian") {
+    for (q <- Seq("l01_reading_order", "l02_block_segments")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // every window shares the doc hash partitioning: exactly one
+      // hash exchange in the whole pass (the final ORDER BY range
+      // partitioning is separate and benign)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: $hashEx hash exchanges\n" + p.take(3000))
+    }
+  }
+
+  test("l03/l04 table detect: no count-distinct expand, partial hash aggs, no cartesian") {
+    for (q <- Seq("l03_table_detect", "l04_block_kinds")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // table rows via min<>max, not count(DISTINCT col)'s Expand
+      assert(!p.contains("Expand"), p.take(3000))
+      assert(!p.contains("SortAggregate"), p.take(3000))
+    }
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
