@@ -228,6 +228,19 @@ object SparkEntry {
       }.toDF("model", "pos", "field", "sql_type", "nullable")
         .orderBy("model", "pos")
     }),
+    // D9 scale path — 13-gram hash-equi-join decontamination over a
+    // corpus/bench split of the planted contract texts (the oracle-exact
+    // substring form for small benches is d09_decontaminate;
+    // DecontaminateSpec pins this operator against brute-force gram
+    // intersect). Bench side reduces to distinct gram hashes -> broadcast.
+    "x18_decontaminate_grams" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      ops.Decontaminate.contaminated(
+          docs.filter("doc_id % 10 <> 7"), "doc_id", "ctext",
+          docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
+        .orderBy("doc_id")
+    }),
     // L1-L5 typed twin — the distributed Marker-style layout pass
     // (extract/Layout.scala): same page geometry as the l0* oracle queries,
     // laid out by the typed per-page operator (one shuffle on doc, then a

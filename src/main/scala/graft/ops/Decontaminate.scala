@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share any word
+  * n-gram with a benchmark/eval set — the GPT-3 appendix-C / The-Pile
+  * 13-gram overlap rule every serious training-data pipeline runs before
+  * training. (The reference has no eval-set hygiene; this extends its
+  * corpus tooling the way the dedup tier does.)
+  *
+  * Scale shape: both sides reduce to (gram-hash) keys BEFORE the wide op —
+  * the corpus side shuffles distinct (doc_id, hash) pairs (≤ words-per-doc
+  * longs, never text), the bench side distinct hashes only. Overlap is a
+  * hash equi-join + hash agg; with a small bench side Catalyst/AQE
+  * broadcasts it (no shuffle of the corpus at all). The oracle-exact SQL
+  * twin for small literal benches is d09_decontaminate (substring form);
+  * DecontaminateSpec pins this operator against a brute-force gram
+  * intersect on real corpus samples.
+  */
+object Decontaminate {
+
+  /** Normalized word array: lowercase, alnum runs only. */
+  private def wordsOf(textCol: Column): Column =
+    filter(split(lower(regexp_replace(textCol, "[^a-zA-Z0-9]+", " ")), " "),
+      w => length(w) > 0)
+
+  /** All word n-grams of a text column as xxhash64 keys (empty when the
+    * text has fewer than n words). Pure array HOFs — narrow, codegen'd. */
+  def gramHashes(textCol: Column, n: Int): Column = {
+    val w = wordsOf(textCol)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => xxhash64(array_join(slice(w, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Distinct (id, gram-hash) pairs for a document set. */
+  private def gramTable(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(gramHashes(col(textCol), n)).as("gh"))
+      .distinct()
+
+  /** Corpus documents contaminated by the bench set: one row per flagged
+    * doc with the number of distinct overlapping n-grams.
+    * Output: (idCol, n_hits). */
+  def contaminated(corpus: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(gramHashes(col(benchTextCol), n)).as("gh"))
+      .distinct()
+    gramTable(corpus, idCol, textCol, n)
+      .join(benchGrams, "gh")
+      .groupBy(col("id").as(idCol))
+      .agg(count("*").cast("int").as("n_hits"))
+  }
+}

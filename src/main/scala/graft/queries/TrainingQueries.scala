@@ -114,6 +114,24 @@ object TrainingQueries {
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // D9 — benchmark decontamination, small-bench substring form: flag
+    // corpus docs containing any planted benchmark snippet (GPT-3
+    // appendix-C hygiene; the snippets hit distinct Ctext branches so the
+    // flag set is non-trivial: %4==1 amounts, %3==0 clause line, %9==0
+    // sentinel dates, and exactly one contract number). The LARGE-bench
+    // scale path is ops.Decontaminate (13-gram hash equi-join, x18) —
+    // spec-pinned against brute-force gram intersect.
+    "d09_decontaminate" -> q { d =>
+      val ctext = Dialect.Ctext
+      s"""WITH bench AS (SELECT snippet FROM (VALUES
+         |  ('US$$ 50,000.00'), ('Vigência: ok. Pagamentos: due monthly.'),
+         |  ('Signed: 31/02/2021 Alt: 2021-13-05'), ('Contract Number: K-0049'))
+         |  AS b(snippet))
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_hits, min(snippet) AS first_hit
+         |FROM documents d JOIN bench b ON instr($ctext, b.snippet) > 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     // D5 — deterministic stratified sampling (sampleBy with md5 in place of
     // RNG so the oracle can reproduce it)
     "d05_stratified_sample" -> q { d =>

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Decontaminate
+
+/** Benchmark decontamination (ops/Decontaminate.scala): planted
+  * contamination, short-text edge, brute-force gram-intersect parity on
+  * the real planted corpus, and plan shape. */
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def norm(t: String): Seq[String] =
+    t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def grams(t: String, n: Int): Set[String] = {
+    val w = norm(t)
+    if (w.size < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("planted 13-gram contamination is flagged, clean docs are not") {
+    import spark.implicits._
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa"
+    val contaminated = "intro words then " +
+      "bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november" +
+      " trailing words"
+    val clean = "completely different content with no overlap at all " +
+      "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val corpus = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val bench = Seq(benchText).toDF("btext")
+    val out = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === 1) // exactly one shared 13-gram
+  }
+
+  test("texts shorter than n words produce no grams and no rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    val bench = Seq("also short").toDF("btext")
+    assert(Decontaminate.contaminated(corpus, "doc_id", "text", bench, "btext")
+      .count() === 0)
+  }
+
+  test("operator == brute-force gram intersect on the planted corpus (n=13)") {
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    val docs = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val (bench, corpus) = docs.partition(_._1 % 10 == 7)
+    val benchGrams = bench.iterator.flatMap(d => grams(d._2, 13)).toSet
+    val expected = corpus.flatMap { case (id, t) =>
+      val hits = grams(t, 13).count(benchGrams)
+      if (hits > 0) Some(id -> hits) else None
+    }.toMap
+
+    val corpusDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents WHERE doc_id % 10 <> 7")
+    val benchDf = spark.sql(
+      s"SELECT ${graft.queries.Dialect.Ctext} AS ctext FROM documents WHERE doc_id % 10 = 7")
+    val got = Decontaminate.contaminated(corpusDf, "doc_id", "ctext", benchDf, "ctext")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "planted corpus should produce contamination hits")
+  }
+
+  test("plan: gram-hash equi-join, no cartesian") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h i j k l m n o")).toDF("doc_id", "text")
+    val bench = Seq("a b c d e f g h i j k l m").toDF("btext")
+    val p = Decontaminate.contaminated(corpus, "doc_id", "text", bench, "btext")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+}
