@@ -66,6 +66,14 @@ object Demo {
       threshold = 0.5, droppedRows = Some(ccDropAcc))
     println(s"[demo] near-dup components: keepers=${components.filter($"is_keeper" === 1).count()} " +
       s"of ${components.count()} docs (bucket-cap dropped rows: ${ccDropAcc.value})")
+    // layout pass: Marker-style columns/blocks/kinds over derived pages
+    val blocks = SparkEntry.queries("x17_layout_typed")(spark, sfDir)
+    val kindCounts = blocks.groupBy("kind").count().orderBy("kind")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[demo] layout blocks: $kindCounts")
+    // eval-set hygiene: 13-gram decontamination over a corpus/bench split
+    val nContaminated = SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir).count()
+    println(s"[demo] decontamination: $nContaminated corpus docs share a 13-gram with the bench split")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

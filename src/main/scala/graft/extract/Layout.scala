@@ -88,16 +88,14 @@ object Layout {
     }.toSet
   }
 
-  /** 3.–5. Segment lines into blocks and classify each block.
-    * Returns blocks with global per-page ids in reading order. */
-  def segments(boxes: Seq[Box]): Seq[Block] = {
+  /** Line → (block id, col) tagging shared by segments/spansOf. */
+  private def taggedLines(boxes: Seq[Box]): Seq[(Int, Int, Box)] = {
     val cols = columnOf(boxes)
-    val tys = tableRowYs(boxes)
     val ordered = boxes.sortBy(b => (cols(b.line_id), b.y0, b.line_id))
     var curCol = -1
     var prevY1 = Int.MinValue
     var blockId = -1
-    val tagged = ordered.map { b =>
+    ordered.map { b =>
       val c = cols(b.line_id)
       val newBlock = c != curCol || b.y0 - prevY1 > VGap
       if (c != curCol) { curCol = c; prevY1 = Int.MinValue }
@@ -105,7 +103,13 @@ object Layout {
       if (b.y1 > prevY1) prevY1 = b.y1
       (blockId, c, b)
     }
-    tagged.groupBy(_._1).toSeq.sortBy(_._1).map { case (blk, ts) =>
+  }
+
+  /** 3.–5. Segment lines into blocks and classify each block.
+    * Returns blocks with global per-page ids in reading order. */
+  def segments(boxes: Seq[Box]): Seq[Block] = {
+    val tys = tableRowYs(boxes)
+    taggedLines(boxes).groupBy(_._1).toSeq.sortBy(_._1).map { case (blk, ts) =>
       val bs = ts.map(_._3)
       val height = bs.map(_.y1).max - bs.map(_.y0).min
       val kind =
@@ -123,6 +127,35 @@ object Layout {
     val tys = tableRowYs(boxes)
     val cells = boxes.count(b => tys(b.y0))
     (tys.size, cells, tys.size >= 2)
+  }
+
+  /** Bridge into the engine's interleaved input shape (BASELINE input_hint):
+    * ordered blocks → Span sequence, offsets = reading-order block ids, so
+    * the layout output feeds `Extract.parseBlocks`/`markdownOf` directly.
+    * `texts` carries per-line OCR/text content keyed by line_id ("" lines
+    * allowed); figure blocks become media spans with their media_ref, table
+    * blocks keep their lines joined in reading order. A text block whose
+    * first line is the page's topmost becomes the heading (Marker's
+    * title-block convention for the block-JSON path). */
+  def spansOf(doc: String, boxes: Seq[Box],
+              texts: Map[Long, String]): Seq[graft.model.Span] = {
+    if (boxes.isEmpty) return Seq.empty
+    val tys = tableRowYs(boxes)
+    val topY = boxes.map(_.y0).min
+    taggedLines(boxes).groupBy(_._1).toSeq.sortBy(_._1).map { case (blk, ts) =>
+      val bs = ts.map(_._3)
+      val joined = bs.sortBy(b => (b.y0, b.x0, b.line_id))
+        .flatMap(b => texts.get(b.line_id)).filter(_.nonEmpty).mkString("\n")
+      val height = bs.map(_.y1).max - bs.map(_.y0).min
+      if (bs.size == 1 && height >= FigMinHeight)
+        graft.model.Span("media", "", s"img_${doc}_$blk", blk)
+      else if (bs.count(b => tys(b.y0)) >= 2)
+        graft.model.Span("table", joined, "", blk)
+      else if (bs.head.y0 == topY)
+        graft.model.Span("heading", joined, "", blk)
+      else
+        graft.model.Span("paragraph", joined, "", blk)
+    }
   }
 
   /** Distributed typed path: one shuffle on `doc`, then a per-page fold.

@@ -132,6 +132,49 @@ object TrainingQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // D10 — corpus-wide duplicate-line removal (C4-style): every line is
+    // keyed by md5, the first-seen doc (min doc_id) keeps it, every other
+    // doc counts it dropped. Scale shape: the shuffle carries distinct
+    // (doc_id, 16-byte hash) pairs only — never line text — through one
+    // hash agg (keeper per hash) and one equi-join back.
+    "d10_line_dedup" -> q { d =>
+      val ctext = Dialect.Ctext
+      val rawLines =
+        if (d.isSpark) "split(ctext, '\\n')"
+        else "string_split_regex(ctext, '\\n')"
+      val nel = d.lfilter(rawLines, "x -> x <> ''")
+      val un = if (d.isSpark) "explode(nel)" else "unnest(nel)"
+      s"""WITH base AS (SELECT doc_id, $nel AS nel
+         |  FROM (SELECT doc_id, $ctext AS ctext FROM documents) t),
+         |lx0 AS (SELECT doc_id, $un AS line FROM base),
+         |lx AS (SELECT DISTINCT doc_id, md5(line) AS h FROM lx0),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM lx GROUP BY h)
+         |SELECT l.doc_id, CAST(count(*) AS INT) AS n_lines,
+         |       CAST(sum(CASE WHEN l.doc_id = k.keeper THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |       CAST(sum(CASE WHEN l.doc_id <> k.keeper THEN 1 ELSE 0 END) AS INT) AS n_dropped
+         |FROM lx l JOIN k ON l.h = k.h
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T6 — PII redaction: mask the reference's email/CNPJ patterns
+    // (contract_parser.py:27-37 parity regexes, same literals as p08/p09)
+    // and report the redaction count + a digest of the masked text. Pure
+    // per-row columnar regexp work — narrow, codegen'd.
+    "t06_redact" -> q { d =>
+      val ctext = Dialect.Ctext
+      val patEmail = "'\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b'"
+      val patCnpj = "'(?:\\d{2}\\.\\d{3}\\.\\d{3}/\\d{4}-\\d{2}|\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2})'"
+      val nEmails = d.size(s"regexp_extract_all(ctext, $patEmail, 0)")
+      val nCnpj = d.size(s"regexp_extract_all(ctext, $patCnpj, 0)")
+      val redacted = d.rr(d.rr("ctext", patEmail, "'[EMAIL]'"), patCnpj, "'[ID]'")
+      s"""SELECT doc_id,
+         |  CAST($nEmails AS INT) + CAST($nCnpj AS INT) AS n_redactions,
+         |  CAST(length($redacted) AS INT) AS redacted_len,
+         |  md5($redacted) AS redacted_md5
+         |FROM (SELECT doc_id, $ctext AS ctext FROM documents) t
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     // D5 — deterministic stratified sampling (sampleBy with md5 in place of
     // RNG so the oracle can reproduce it)
     "d05_stratified_sample" -> q { d =>

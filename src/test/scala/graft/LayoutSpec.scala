@@ -127,6 +127,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(typed === sqlRows)
   }
 
+  test("spansOf bridges layout into the interleaved Span shape and feeds Extract") {
+    val texts = Map(
+      1L -> "Master Service Agreement", 2L -> "Contract Number: K-0042",
+      3L -> "Client: Acme Corp Vendor: Beta Ltd", 4L -> "Total Value: US$ 50,000.00",
+      5L -> "", 6L -> "| a | b |", 7L -> "| c | d |", 8L -> "| 1 | 2 |", 9L -> "| 3 | 4 |")
+    val spans = Layout.spansOf("d1", page, texts)
+    assert(spans.map(_.offset) === (0 until 6))
+    assert(spans.map(_.kind) === Seq("heading", "paragraph", "table",
+      "paragraph", "media", "table"))
+    assert(spans.find(_.kind == "media").get.media_ref === "img_d1_4")
+    // the merged left paragraph keeps both lines in reading order
+    assert(spans(1).text === "Contract Number: K-0042\nClient: Acme Corp Vendor: Beta Ltd")
+    // the bridge output parses end-to-end on the block path
+    val row = graft.extract.Extract.parseBlocks("d1", spans)
+    assert(row.title === "Master Service Agreement")
+    assert(row.contract_number === "K-0042")
+    assert(row.client_name === "Acme Corp")
+  }
+
   test("distributed layoutBlocks is repartition-invariant") {
     import spark.implicits._
     val lines = page.map(b => (7L, b.line_id, b.x0, b.y0, b.x1, b.y1))
