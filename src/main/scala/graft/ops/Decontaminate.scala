@@ -25,21 +25,27 @@ object Decontaminate {
     filter(split(lower(regexp_replace(textCol, "[^a-zA-Z0-9]+", " ")), " "),
       w => length(w) > 0)
 
-  /** All word n-grams of a text column as xxhash64 keys (empty when the
-    * text has fewer than n words). Pure array HOFs — narrow, codegen'd. */
-  def gramHashes(textCol: Column, n: Int): Column = {
-    val w = wordsOf(textCol)
+  /** n-gram hashes over an already-materialized word-array COLUMN. The
+    * words must be a bound column, not an inline expression: Catalyst
+    * inlines a free expression into the transform lambda and re-evaluates
+    * it per gram — the regexp+split would run O(grams) times per row
+    * (measured 23.6 s -> 1.6 s at sf0.1 for the bound form). */
+  private def gramsFromWords(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => xxhash64(array_join(slice(w, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  /** All word n-grams of a text column as xxhash64 keys (empty when the
+    * text has fewer than n words). Pure array HOFs — narrow, codegen'd. */
+  def gramHashes(textCol: Column, n: Int): Column =
+    gramsFromWords(wordsOf(textCol), n)
 
   /** Distinct (id, gram-hash) pairs for a document set. */
   private def gramTable(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(gramHashes(col(textCol), n)).as("gh"))
+    docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+      .select(col("id"), explode(gramsFromWords(col("w"), n)).as("gh"))
       .distinct()
 
   /** Corpus documents contaminated by the bench set: one row per flagged
@@ -49,7 +55,8 @@ object Decontaminate {
                    bench: DataFrame, benchTextCol: String,
                    n: Int = 13): DataFrame = {
     val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("gh"))
+      .select(wordsOf(col(benchTextCol)).as("w"))
+      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
       .distinct()
     gramTable(corpus, idCol, textCol, n)
       .join(benchGrams, "gh")
