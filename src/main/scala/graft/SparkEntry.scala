@@ -174,6 +174,17 @@ object SparkEntry {
       ops.Ann.Ivf.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         q, 10, nlist = 8, nProbe = 2, sampleN = 400)
     }),
+    "x19_ann_pq" -> ((s: SparkSession, dir: String) => {
+      // product-quantization scale path: m-byte codes are the resident
+      // index, ADC shortlist (TakeOrderedAndProject), exact re-rank on
+      // k*refine rows only (OpsSpec pins recall >= 0.9 vs brute force)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val cb = ops.Ann.Pq.train(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, sampleN = 400)
+      ops.Ann.Pq.topK(corpus, "vec_id", "embedding", q, 10, cb, refine = 10)
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

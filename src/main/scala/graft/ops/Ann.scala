@@ -178,6 +178,131 @@ object Ann {
       topKIndexed(buildIndex(embeddings, idCol, vecCol, nlist, sampleN), query, k, nProbe)
   }
 
+  /** Product quantization (faiss IndexPQ-style), the memory-footprint scale
+    * path beside IVF and hyperplane LSH: the corpus-resident index is
+    * (id, m small codes) — m bytes/row instead of dim*4 — so a 10^12-row
+    * index fits where raw vectors cannot.
+    *
+    *  - TRAIN: the dim-space splits into m subspaces of dim/m; each gets
+    *    its own ksub-centroid Lloyd codebook from a bounded deterministic
+    *    sample (driver-side, corpus-size-independent, like Ivf).
+    *  - ENCODE: per row, m tiny argmins against the broadcast codebooks —
+    *    one narrow pass, no shuffle.
+    *  - QUERY (ADC): the driver precomputes the m x ksub lookup table of
+    *    partial squared distances query-subvector -> centroid; a row's
+    *    approximate distance is m table lookups summed — no float vector
+    *    touched at scan time. The ADC shortlist (k * refine) is a
+    *    TakeOrderedAndProject (distributed top-k, no global sort), and
+    *    only the shortlist rows get the exact cosine re-rank. */
+  object Pq {
+
+    /** [m][ksub][dsub] codebooks. */
+    case class Codebooks(m: Int, dsub: Int, ksub: Int,
+                         centroids: Array[Array[Array[Double]]])
+
+    /** Deterministic per-subspace Lloyd on a bounded sample by id. */
+    def train(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 8, ksub: Int = 16, sampleN: Int = 2048,
+              iters: Int = 10): Codebooks = {
+      require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+      val dsub = dim / m
+      val sample: Array[Array[Double]] = embeddings
+        .orderBy(col(idCol)).limit(sampleN)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(sample.length >= ksub, s"need >= $ksub sample vectors, got ${sample.length}")
+      val books = Array.tabulate(m) { j =>
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        var cents = Array.tabulate(ksub) { i =>
+          sub(((graft.gen.Corpus.mix(42L + j * 131071L + i) % sub.length + sub.length) % sub.length).toInt)
+        }
+        def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+          var best = 0; var bd = Double.MaxValue; var i = 0
+          while (i < cs.length) {
+            var d = 0.0; var t = 0
+            val c = cs(i)
+            while (t < v.length) { val x = v(t) - c(t); d += x * x; t += 1 }
+            if (d < bd) { bd = d; best = i }
+            i += 1
+          }
+          best
+        }
+        for (it <- 1 to iters) {
+          val sums = Array.fill(ksub)(new Array[Double](dsub))
+          val counts = new Array[Int](ksub)
+          sub.foreach { v =>
+            val c = nearest(v, cents)
+            counts(c) += 1
+            var t = 0; while (t < dsub) { sums(c)(t) += v(t); t += 1 }
+          }
+          cents = Array.tabulate(ksub) { i =>
+            if (counts(i) == 0)
+              sub(((graft.gen.Corpus.mix(9000L * it + j * 131071L + i) % sub.length + sub.length) % sub.length).toInt)
+            else sums(i).map(_ / counts(i))
+          }
+        }
+        cents
+      }
+      Codebooks(m, dsub, ksub, books)
+    }
+
+    /** Narrow encoding pass: code = m per-subspace argmins. */
+    def encode(embeddings: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
+      val codeOf = udf { (v: Seq[Float]) =>
+        Array.tabulate(cb.m) { j =>
+          val off = j * cb.dsub
+          var best = 0; var bd = Double.MaxValue; var i = 0
+          while (i < cb.ksub) {
+            val c = cb.centroids(j)(i)
+            var d = 0.0; var t = 0
+            while (t < cb.dsub && off + t < v.length) {
+              val x = v(off + t) - c(t); d += x * x; t += 1
+            }
+            if (d < bd) { bd = d; best = i }
+            i += 1
+          }
+          best
+        }.toSeq
+      }
+      embeddings.withColumn("code", codeOf(col(vecCol)))
+    }
+
+    /** ADC top-k with exact cosine re-rank on the k*refine shortlist. */
+    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, cb: Codebooks,
+             refine: Int = 10): DataFrame = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val qd = query.map(_.toDouble)
+      // m x ksub partial-distance lookup table, driver-side
+      val lut: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
+        Array.tabulate(cb.ksub) { i =>
+          val c = cb.centroids(j)(i)
+          var d = 0.0; var t = 0
+          while (t < cb.dsub && j * cb.dsub + t < qd.length) {
+            val x = qd(j * cb.dsub + t) - c(t); d += x * x; t += 1
+          }
+          d
+        }
+      }
+      val adcOf = udf { (code: Seq[Int]) =>
+        var d = 0.0; var j = 0
+        while (j < cb.m && j < code.length) { d += lut(j)(code(j)); j += 1 }
+        d
+      }
+      val shortlist = encode(embeddings, vecCol, cb)
+        .withColumn("adc_dist", adcOf(col("code")))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k * refine)
+      val q = Seq(Tuple1(query.toSeq)).toDF("qe")
+      shortlist.crossJoin(broadcast(q))
+        .withColumn("cos_sim", expr(cosExpr(vecCol, "qe")))
+        .select(col(idCol), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col(idCol))
+        .limit(k)
+    }
+  }
+
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from
     * hyperplane-LSH bucket equi-joins (shuffle carries only (table, bucket,
     * id, vector)), the exact cosine is the residual filter. A viral bucket

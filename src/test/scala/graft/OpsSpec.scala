@@ -171,6 +171,37 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.intersect(single).size <= brute.intersect(multi).size)
   }
 
+  test("PQ ADC + re-rank: recall >= 0.9 vs brute force; codebooks deterministic") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    val planted = (1L to 10L).map { p =>
+      (p, qv.zipWithIndex.map { case (x, i) =>
+        x + (mix(p * 131 + i) % 100) / 4000.0f
+      }.toSeq)
+    }
+    val randoms = (11L to 510L).map(p => (p, rand(p).toSeq))
+    val emb = (planted ++ randoms).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val brute = Ann.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cb = Ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 600)
+    // the resident index is m small codes per row
+    val codes = Ann.Pq.encode(emb, "embedding", cb).select("code")
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+    val pq = Ann.Pq.topK(emb, "vec_id", "embedding", qv, 10, cb, refine = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(pq).size / 10.0
+    assert(recall >= 0.9, s"PQ recall $recall < 0.9 (got ${pq.toSeq.sorted})")
+    // deterministic training: identical codebooks on retrain
+    val cb2 = Ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 600)
+    assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+  }
+
   test("embed near-dup: LSH pairs are a subset of brute force; planted clones always recalled") {
     import spark.implicits._
     import graft.gen.Corpus.mix
