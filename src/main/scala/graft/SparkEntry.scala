@@ -185,6 +185,18 @@ object SparkEntry {
         m = 8, ksub = 16, sampleN = 400)
       ops.Ann.Pq.topK(corpus, "vec_id", "embedding", q, 10, cb, refine = 10)
     }),
+    "x20_ann_ivfpq" -> ((s: SparkSession, dir: String) => {
+      // faiss IVFPQ composition: nProbe cell scan x m-byte ADC codes,
+      // exact re-rank on the shortlist only
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val cb = ops.Ann.Pq.train(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, sampleN = 400)
+      val ivf = ops.Ann.Ivf.buildIndex(corpus, "vec_id", "embedding",
+        nlist = 8, sampleN = 400)
+      ops.Ann.Pq.topKIvf(ivf, cb, q, 10, nProbe = 4, refine = 10)
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

@@ -145,20 +145,26 @@ object Ann {
       Index(centroids, assign(embeddings, vecCol, centroids), idCol, vecCol)
     }
 
-    /** Top-k against a prebuilt index: probe-cell selection is driver-side
-      * arithmetic on the broadcast-small centroid matrix; the scan touches
-      * only the nProbe chosen cells. */
-    def topKIndexed(index: Index, query: Array[Float], k: Int,
-                    nProbe: Int = 2): DataFrame = {
-      val spark = index.assigned.sparkSession
-      import spark.implicits._
+    /** The query's nProbe nearest cells — driver-side arithmetic on the
+      * broadcast-small centroid matrix. */
+    def probeCellsOf(centroids: Array[Array[Double]], query: Array[Float],
+                     nProbe: Int): Seq[Int] = {
       val qd = query.map(_.toDouble)
-      val probeCells = index.centroids.zipWithIndex.map { case (c, i) =>
+      centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         val n = math.min(c.length, qd.length)
         while (j < n) { val x = qd(j) - c(j); d += x * x; j += 1 }
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    }
+
+    /** Top-k against a prebuilt index: probe-cell selection is driver-side;
+      * the scan touches only the nProbe chosen cells. */
+    def topKIndexed(index: Index, query: Array[Float], k: Int,
+                    nProbe: Int = 2): DataFrame = {
+      val spark = index.assigned.sparkSession
+      import spark.implicits._
+      val probeCells = probeCellsOf(index.centroids, query, nProbe)
       val q = Seq(Tuple1(query.toSeq)).toDF("qe")
       index.assigned
         .filter(col("cell").isin(probeCells: _*))
@@ -300,6 +306,18 @@ object Ann {
         .select(col(idCol), col("cos_sim"))
         .orderBy(desc("cos_sim"), col(idCol))
         .limit(k)
+    }
+
+    /** IVF-PQ (faiss IndexIVFPQ composition): probe the query's nProbe
+      * nearest IVF cells, then run the ADC shortlist + exact re-rank on
+      * that slice only — the scan touches ~nProbe/nlist of the corpus AND
+      * reads m-byte codes instead of float vectors, the standard
+      * billion-scale recipe. */
+    def topKIvf(index: Ivf.Index, cb: Codebooks, query: Array[Float], k: Int,
+                nProbe: Int = 2, refine: Int = 10): DataFrame = {
+      val cells = Ivf.probeCellsOf(index.centroids, query, nProbe)
+      topK(index.assigned.filter(col("cell").isin(cells: _*)),
+        index.idCol, index.vecCol, query, k, cb, refine)
     }
   }
 

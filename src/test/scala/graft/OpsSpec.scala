@@ -200,6 +200,13 @@ class OpsSpec extends AnyFunSuite {
     // deterministic training: identical codebooks on retrain
     val cb2 = Ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 600)
     assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+    // IVF-PQ composition: probing half the cells still recalls >= 0.9 —
+    // the planted cluster concentrates in the query's nearest cells
+    val ivf = Ann.Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 8, sampleN = 600)
+    val ivfpq = Ann.Pq.topKIvf(ivf, cb, qv, 10, nProbe = 4, refine = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recallIvfPq = brute.intersect(ivfpq).size / 10.0
+    assert(recallIvfPq >= 0.9, s"IVF-PQ recall $recallIvfPq (got ${ivfpq.toSeq.sorted})")
   }
 
   test("embed near-dup: LSH pairs are a subset of brute force; planted clones always recalled") {
