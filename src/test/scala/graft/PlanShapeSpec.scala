@@ -151,6 +151,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x17 typed layout: doc-hash + groupByKey exchanges only, no cartesian") {
+    val p = plan("x17_layout_typed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"$hashEx hash exchanges\n" + p.take(3000))
+  }
+
+  test("x18 decontamination: gram-hash equi-join, no cartesian") {
+    val p = plan("x18_decontaminate_grams")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("x19/x20 PQ: ADC shortlist is a distributed top-k, no cartesian") {
+    for (q <- Seq("x19_ann_pq", "x20_ann_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // the k*refine shortlist must be TakeOrderedAndProject (per-partition
+      // top-k + single merge), never a global Sort of the corpus
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    }
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
