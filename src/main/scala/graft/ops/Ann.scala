@@ -175,6 +175,33 @@ object Ann {
         .limit(k)
     }
 
+    /** Persist the index as the at-scale layout: the assigned corpus
+      * written PARTITIONED BY cell (each probe becomes a partition-pruned
+      * scan — Spark reads only the nProbe directories), centroids beside
+      * it as a small parquet. */
+    def writeIndex(index: Index, path: String): Unit = {
+      val spark = index.assigned.sparkSession
+      import spark.implicits._
+      index.assigned.write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$path/cells")
+      index.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+
+    /** Reopen a written index. Probing through `topKIndexed` on the result
+      * is partition-pruned: the `cell` filter hits the directory layout
+      * (PartitionFilters in the scan), so only nProbe/nlist of the data is
+      * ever read — the IvfIndexSpec asserts this on the physical plan. */
+    def openIndex(spark: SparkSession, path: String,
+                  idCol: String, vecCol: String): Index = {
+      val centroids = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      Index(centroids, spark.read.parquet(s"$path/cells"), idCol, vecCol)
+    }
+
     /** IVF top-k: exact cosine over the query's nProbe nearest cells only
       * (scanned fraction ~= nProbe/nlist of the corpus). One-shot form of
       * buildIndex + topKIndexed. */

@@ -209,6 +209,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recallIvfPq >= 0.9, s"IVF-PQ recall $recallIvfPq (got ${ivfpq.toSeq.sorted})")
   }
 
+  test("IVF index on disk: partition-pruned probes, identical to in-memory") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    val emb = (1L to 400L).map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = Ann.Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 8, sampleN = 400)
+    val dir = "/tmp/graft-test-ivf-index"
+    Ann.Ivf.writeIndex(idx, dir)
+    val opened = Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding")
+    assert(opened.centroids.length === 8)
+    assert(opened.centroids.flatten.toSeq === idx.centroids.flatten.toSeq)
+    val mem = Ann.Ivf.topKIndexed(idx, qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val diskDf = Ann.Ivf.topKIndexed(opened, qv, 10, nProbe = 2)
+    val disk = diskDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk === mem)
+    // the cell filter must reach the DIRECTORY layout: a partition-pruned
+    // scan, not a full read + post-filter
+    val p = diskDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("embed near-dup: LSH pairs are a subset of brute force; planted clones always recalled") {
     import spark.implicits._
     import graft.gen.Corpus.mix
