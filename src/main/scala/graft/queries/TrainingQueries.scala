@@ -58,6 +58,40 @@ object TrainingQueries {
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Shared WITH-chain for the d11/a06 decision layer: per-doc first-hit
+    * decision over exact-dup keeper (d01 key), contamination (d09 bench),
+    * and quality (t02 predicate). Ends with CTE `decided`. */
+  private def decisionBody(d: D): String = {
+    val ctext = Dialect.Ctext
+    val nTok = d.size("regexp_extract_all(text, '\\S+', 0)")
+    val nPunct = d.size("regexp_extract_all(text, '[.,;:!?]', 0)")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5(substr(text, 1, 24)) AS key,
+       |         CASE WHEN $nTok >= 10
+       |               AND $nPunct * 1e0 / nullif(length(text), 0) < 0.2
+       |              THEN 1 ELSE 0 END AS quality_ok,
+       |         $ctext AS ctext
+       |  FROM documents),
+       |keepers AS (SELECT key, min(doc_id) AS keeper FROM keyed GROUP BY key),
+       |bench AS (SELECT snippet FROM (VALUES
+       |  ('US$$ 50,000.00'), ('Vigência: ok. Pagamentos: due monthly.'),
+       |  ('Signed: 31/02/2021 Alt: 2021-13-05'), ('Contract Number: K-0049'))
+       |  AS b(snippet)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM keyed c JOIN bench b
+       |  ON instr(c.ctext, b.snippet) > 0),
+       |decided AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN a.doc_id <> k.keeper THEN 'exact_dup'
+       |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       |         WHEN a.quality_ok = 0 THEN 'low_quality'
+       |         ELSE 'keep' END AS decision,
+       |    CASE WHEN a.doc_id = k.keeper AND c.doc_id IS NULL
+       |          AND a.quality_ok = 1 THEN 1 ELSE 0 END AS keep
+       |  FROM keyed a JOIN keepers k ON a.key = k.key
+       |  LEFT JOIN contam c ON a.doc_id = c.doc_id)""".stripMargin
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key
@@ -173,6 +207,27 @@ object TrainingQueries {
          |  md5($redacted) AS redacted_md5
          |FROM (SELECT doc_id, $ctext AS ctext FROM documents) t
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // D11 + A6 — the pipeline DECISION layer: the composed keep/drop
+    // endpoint a training-data export actually ships. Rule order (first
+    // hit wins): exact-dup loser -> benchmark-contaminated -> low-quality
+    // -> keep. One shared body; d11 emits the per-doc decision, a06 the
+    // stage funnel (how many docs each gate removes — the observability
+    // row every corpus run reports). Scale shape: one hash agg on the
+    // content key, one equi-join back, a broadcast-small contamination
+    // semi-join; quality is a narrow predicate.
+    "d11_training_decision" -> q { d =>
+      s"""${decisionBody(d)}
+         |SELECT doc_id, decision, keep FROM decided
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    "a06_filter_funnel" -> q { d =>
+      s"""${decisionBody(d)}
+         |SELECT decision, CAST(count(*) AS INT) AS n_docs
+         |FROM decided GROUP BY decision ORDER BY decision""".stripMargin
+        .replace("\n", " ")
     },
 
     // D5 — deterministic stratified sampling (sampleBy with md5 in place of
