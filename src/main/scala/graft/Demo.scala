@@ -74,6 +74,10 @@ object Demo {
     // eval-set hygiene: 13-gram decontamination over a corpus/bench split
     val nContaminated = SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir).count()
     println(s"[demo] decontamination: $nContaminated corpus docs share a 13-gram with the bench split")
+    // the composed keep/drop endpoint + its per-stage funnel
+    val funnel = SparkEntry.queries("a06_filter_funnel")(spark, sfDir)
+      .collect().map(r => s"${r.getString(0)}=${r.getInt(1)}").mkString(" ")
+    println(s"[demo] filter funnel: $funnel")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")
