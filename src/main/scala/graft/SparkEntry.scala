@@ -197,6 +197,15 @@ object SparkEntry {
         nlist = 8, sampleN = 400)
       ops.Ann.Pq.topKIvf(ivf, cb, q, 10, nProbe = 4, refine = 10)
     }),
+    // D12 scale path — LSH-bucketed k-NN similarity join (OR-amplified
+    // bucket equi-join + per-query window top-k; planted recall in
+    // OpsSpec; d12 is the value-exact brute twin)
+    "x21_knn_join_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      ops.Ann.knnJoin(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 3, dim = 64, nBits = 8, nTables = 4)
+        .orderBy("query_id", "neighbor_id")
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

@@ -348,6 +348,66 @@ object Ann {
     }
   }
 
+  /** Shared OR-table bucket signature UDF: per row, one sign-bit bucket
+    * per hyperplane table. */
+  private def bucketsOfUdf(planeTables: Array[Array[Array[Double]]]) =
+    udf { (v: Seq[Float]) =>
+      planeTables.map { planes =>
+        var b = 0L
+        var i = 0
+        while (i < planes.length) {
+          val p = planes(i)
+          var dot = 0.0
+          var j = 0
+          val n = math.min(p.length, v.length)
+          while (j < n) { dot += p(j) * v(j); j += 1 }
+          if (dot >= 0) b |= (1L << i)
+          i += 1
+        }
+        b
+      }.toSeq
+    }
+
+  /** k-NN similarity JOIN — the set-to-set form: top-k corpus neighbors for
+    * EVERY query row, not one driver-side vector. The batch shape real
+    * retrieval/dedup pipelines run (N query docs x 10^12 corpus).
+    *
+    * Scale shape: both sides get OR-amplified hyperplane buckets (same
+    * construction as `neardupPairs`); candidates are the (table, bucket)
+    * equi-join — never a cross product; per-pair dedup, exact cosine, then
+    * a per-query row_number window keeps k. Viral corpus buckets are
+    * capped and the drop COUNTED. The value-exact brute-force twin for
+    * small sets is d12_knn_join; OpsSpec pins planted-neighbor recall. */
+  def knnJoin(queries: DataFrame, qId: String, qVec: String,
+              corpus: DataFrame, cId: String, cVec: String,
+              k: Int, dim: Int, nBits: Int = 8, nTables: Int = 4,
+              maxBucket: Int = 10000,
+              droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
+    val buckets = bucketsOfUdf(planeTables)
+    val qb = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .select(col("qid"), col("qv"), posexplode(buckets(col("qv"))).as(Seq("tbl", "bucket")))
+    val cbk = corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
+      .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
+    val bounded = DropStats.cappedFilter(
+      cbk.withColumn("bucket_n", count("*").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket"))),
+      col("bucket_n") <= maxBucket, droppedRows)
+      .drop("bucket_n")
+    val cand = qb.join(bounded, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "cid", "cv")
+    val deduped = if (nTables == 1) cand else cand.dropDuplicates("qid", "cid")
+    val scored = deduped
+      .withColumn("cos_sim", round(expr(cosExpr("qv", "cv")), 6))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("cos_sim"), col("cid"))))
+      .filter(col("rn") <= k)
+    scored.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+      col("cos_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from
     * hyperplane-LSH bucket equi-joins (shuffle carries only (table, bucket,
     * id, vector)), the exact cosine is the residual filter. A viral bucket
@@ -370,22 +430,7 @@ object Ann {
     require(nTables >= 1, s"nTables=$nTables must be >= 1")
     // table l gets its own deterministic plane set (seed-shifted)
     val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
-    val bucketsOf = udf { (v: Seq[Float]) =>
-      planeTables.map { planes =>
-        var b = 0L
-        var i = 0
-        while (i < planes.length) {
-          val p = planes(i)
-          var dot = 0.0
-          var j = 0
-          val n = math.min(p.length, v.length)
-          while (j < n) { dot += p(j) * v(j); j += 1 }
-          if (dot >= 0) b |= (1L << i)
-          i += 1
-        }
-        b
-      }.toSeq
-    }
+    val bucketsOf = bucketsOfUdf(planeTables)
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
         posexplode(bucketsOf(col("v"))).as(Seq("tbl", "bucket")))

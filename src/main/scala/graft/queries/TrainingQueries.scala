@@ -344,6 +344,30 @@ object TrainingQueries {
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
     },
 
+    // D12 — k-NN similarity JOIN, brute-force parity baseline (the
+    // set-to-set form of v01: top-3 corpus neighbors for EVERY query row
+    // vec_id < 20). The LSH-bucketed scale path is x21_knn_join_lsh
+    // (Ann.knnJoin), recall-pinned in OpsSpec — at 10^12 rows only the
+    // bucket equi-join form survives; this all-pairs twin is the
+    // value-exact spec at test scale.
+    "d12_knn_join" -> q { d =>
+      val sim =
+        if (d.isSpark)
+          """(aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (p, r) -> p + r)
+            | / (sqrt(aggregate(transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (p, r) -> p + r))
+            |  * sqrt(aggregate(transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (p, r) -> p + r))))"""
+            .stripMargin.replace("\n", " ")
+        else "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+      s"""SELECT query_id, neighbor_id, cos_sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($sim, 6) AS cos_sim,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY round($sim, 6) DESC, c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20) x
+         |WHERE rn <= 3 ORDER BY query_id, neighbor_id""".stripMargin.replace("\n", " ")
+    },
+
     // V1 — brute-force cosine top-k against the vec_id=0 query embedding
     "v01_ann_topk" -> q { d =>
       val sim =

@@ -209,6 +209,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recallIvfPq >= 0.9, s"IVF-PQ recall $recallIvfPq (got ${ivfpq.toSeq.sorted})")
   }
 
+  test("knn join: every planted neighbor retrieved at k=1; no self matches") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 64
+    def rand(seed: Long): Seq[Float] =
+      Seq.tabulate(dim)(i => (mix(seed * 104729 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    // 5 queries, each with one planted near-copy in the corpus (small noise)
+    val qs = (1L to 5L).map(i => (i, rand(i)))
+    val planted = qs.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) => x + (mix(i * 77 + j) % 100) / 8000.0f })
+    }
+    val noise = (11L to 400L).map(i => (i, rand(i + 90000L)))
+    val queries = qs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val corpus = (qs ++ planted ++ noise).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val nn = Ann.knnJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 1, dim = dim, nBits = 8, nTables = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qs.foreach { case (i, _) =>
+      assert(nn.get(i).contains(i + 1000L), s"query $i: expected planted ${i + 1000L}, got ${nn.get(i)}")
+    }
+    // self pairs (query present in corpus under the same id) are excluded
+    assert(nn.values.toSet.intersect((1L to 5L).toSet).isEmpty)
+  }
+
   test("IVF index on disk: partition-pruned probes, identical to in-memory") {
     import spark.implicits._
     import graft.gen.Corpus.mix
