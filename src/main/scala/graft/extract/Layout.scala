@@ -40,7 +40,11 @@ import org.apache.spark.sql.functions.col
   * on doc_id and everything after is a per-group fold (no further exchange,
   * no sort of the whole corpus). When pages arrive pre-nested (the
   * interleaved input shape), the pure functions apply inside the existing
-  * narrow per-doc map with zero shuffles.
+  * narrow per-doc map with zero shuffles. Skew note: unlike documents
+  * (unbounded span counts → the salted Pipeline path), a PAGE is
+  * physically bounded — a PDF page holds O(10^2..10^3) line boxes — so
+  * per-group folds and per-doc window partitions never see corpus-scale
+  * groups; no salting is needed at this stage.
   */
 object Layout {
 

@@ -62,6 +62,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.tableStat(page) === ((2, 4, true)))
   }
 
+  test("degenerate pages: empty and single-box inputs") {
+    assert(Layout.columnOf(Seq.empty) === Map.empty)
+    assert(Layout.readingOrder(Seq.empty) === Seq.empty)
+    assert(Layout.segments(Seq.empty) === Seq.empty)
+    assert(Layout.tableStat(Seq.empty) === ((0, 0, false)))
+    assert(Layout.spansOf("d", Seq.empty, Map.empty) === Seq.empty)
+    val one = Seq(Box(1, 0, 0, 40, 10))
+    assert(Layout.readingOrder(one).map(_._3) === Seq(1))
+    assert(Layout.segments(one).map(_.kind) === Seq("text"))
+    assert(Layout.spansOf("d", one, Map(1L -> "t")).map(_.kind) === Seq("heading"))
+  }
+
   test("single-column page: no table, one column") {
     val boxes = Seq(Box(1, 0, 0, 40, 10), Box(2, 2, 12, 38, 22))
     assert(Layout.columnOf(boxes).values.toSet === Set(0))
