@@ -206,6 +206,15 @@ object SparkEntry {
           emb, "vec_id", "embedding", k = 3, dim = 64, nBits = 8, nTables = 4)
         .orderBy("query_id", "neighbor_id")
     }),
+    // T7 scale path — distributed two-pass prefix-sum packing (the window
+    // twin t07_seq_pack is the value-exact oracle; PackSpec pins equality)
+    "x22_seq_pack" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ntok"))
+      ops.Pack.packOffsets(docs, "doc_id", "ntok", seqLen = 512)
+        .orderBy("doc_id")
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — assign every document its token offset in the
+  * doc_id-ordered corpus concatenation and the training-sequence (pack)
+  * ids it lands in, the standard LLM batch-packing layout (fixed seqLen
+  * rows, documents straddle pack boundaries).
+  *
+  * The semantics are a GLOBAL exclusive prefix sum in doc_id order. A
+  * window `sum() OVER (ORDER BY doc_id)` computes it — but a global-order
+  * window collapses to ONE partition and is exactly what cannot run at
+  * 10^12 docs. This operator is the distributed form — the classic
+  * two-pass prefix sum:
+  *
+  *  1. bucket docs into P contiguous id ranges (pid = id*P/(maxId+1) —
+  *     arithmetic on the key, deterministic, no sampled range boundaries);
+  *  2. per-bucket token totals (one small hash agg, P rows) → driver
+  *     computes the exclusive prefix over bucket order → broadcast;
+  *  3. per-bucket local prefix (sorted fold inside each group) + the
+  *     bucket's global offset.
+  *
+  * Identical output to the window form — PackSpec pins value-equality
+  * against the t07_seq_pack oracle SQL (which keeps the window shape for
+  * DuckDB) and repartition invariance. Scale: no global sort, no single
+  * partition; each group holds ~N/P docs and only (pid, total) rows reach
+  * the driver. */
+object Pack {
+
+  /** (idCol, n_tokens, offset, first_pack, last_pack) per doc. `tokCol`
+    * must be a non-negative int column; docs with 0 tokens get
+    * last_pack = first_pack (empty span). */
+  def packOffsets(docs: DataFrame, idCol: String, tokCol: String,
+                  seqLen: Int, partitions: Int = 64): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(tokCol).cast("long").as("ntok"))
+    val maxId = base.agg(max("id")).collect()(0).getLong(0)
+    val withPid = base.withColumn("pid",
+      (col("id") * partitions / (maxId + 1)).cast("int"))
+    // pass 1: per-bucket totals -> exclusive prefix per bucket (driver,
+    // P rows only)
+    val totals = withPid.groupBy("pid").agg(sum("ntok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bucketOffset: Map[Int, Long] = {
+      var acc = 0L
+      (0 until partitions).map { p =>
+        val o = p -> acc
+        acc += totals.getOrElse(p, 0L)
+        o
+      }.toMap
+    }
+    // pass 2: local sorted fold per bucket + the bucket's global offset
+    withPid.as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (pid, it) =>
+        var off = bucketOffset(pid)
+        it.toSeq.sortBy(_._1).map { case (id, ntok, _) =>
+          val o = off
+          off += ntok
+          val first = o / seqLen
+          val last = if (ntok == 0) first else (o + ntok - 1) / seqLen
+          (id, ntok, o, first, last)
+        }
+      }
+      .toDF(idCol, "n_tokens", "offset", "first_pack", "last_pack")
+  }
+}

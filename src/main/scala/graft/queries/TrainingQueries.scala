@@ -281,6 +281,25 @@ object TrainingQueries {
          |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // T7 — sequence packing offsets: each doc's token offset in the
+    // doc_id-ordered corpus concatenation + the 512-token training
+    // sequences it spans. This twin keeps the window form (global-order
+    // cumsum — fine at oracle scale, exactly what canNOT run at 10^12
+    // docs); the scale path is ops.Pack.packOffsets (two-pass distributed
+    // prefix sum, x22), PackSpec-pinned value-equal to this query.
+    "t07_seq_pack" -> q { d =>
+      val nTok = d.size("regexp_extract_all(text, '\\S+', 0)")
+      s"""WITH t AS (SELECT doc_id, CAST($nTok AS BIGINT) AS ntok FROM documents),
+         |p AS (SELECT doc_id, ntok,
+         |  CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM t)
+         |SELECT doc_id, ntok AS n_tokens, off AS offset,
+         |  CAST(floor(off * 1e0 / 512) AS BIGINT) AS first_pack,
+         |  CAST(floor((CASE WHEN ntok = 0 THEN off ELSE off + ntok - 1 END) * 1e0 / 512) AS BIGINT) AS last_pack
+         |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     // T5 — Gopher-style repetition & lexical-diversity signals (Rae et al.
     // 2021 §A.1.1 quality filters: top-word fraction, duplicate-line
     // fraction, unique-word fraction). Word frequencies via explode +
