@@ -300,6 +300,33 @@ object TrainingQueries {
          |FROM p ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // T8 — TF-IDF keyword extraction: top-3 terms per document by
+    // tf * ln(N/df), ties broken lexically. Fully declarative — the plan
+    // is two two-level hash aggregates ((doc, word) counts with map-side
+    // partials, then per-word doc frequency) and one per-doc window; the
+    // word -> df join shuffles on the word key (vocabulary-sized, never
+    // corpus-sized rows). Rounded score in BOTH the filter and the order
+    // so engine float noise cannot flip ranks.
+    "t08_tfidf" -> q { d =>
+      val words = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+      val un = if (d.isSpark) s"explode($words)" else s"unnest($words)"
+      s"""WITH wx AS (SELECT doc_id, $un AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM wx GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM wx GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word,
+         |         round(tf.tf * ln(n.n_docs * 1e0 / df.df), 6) AS score
+         |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, word, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, word) AS rn
+         |  FROM scored)
+         |SELECT doc_id, word, score FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, word""".stripMargin.replace("\n", " ")
+    },
+
     // T5 — Gopher-style repetition & lexical-diversity signals (Rae et al.
     // 2021 §A.1.1 quality filters: top-word fraction, duplicate-line
     // fraction, unique-word fraction). Word frequencies via explode +
