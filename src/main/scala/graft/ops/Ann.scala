@@ -304,6 +304,7 @@ object Ann {
     def topK(embeddings: DataFrame, idCol: String, vecCol: String,
              query: Array[Float], k: Int, cb: Codebooks,
              refine: Int = 10): DataFrame = {
+      require(refine >= 1, s"refine=$refine must be >= 1")
       val spark = embeddings.sparkSession
       import spark.implicits._
       val qd = query.map(_.toDouble)

@@ -54,6 +54,8 @@ object Decontaminate {
   def contaminated(corpus: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchTextCol: String,
                    n: Int = 13): DataFrame = {
+    require(n >= 2, s"n=$n: a 1-gram overlap check flags any shared word — " +
+      "use a real n-gram width (GPT-3 used 13)")
     val benchGrams = bench
       .select(wordsOf(col(benchTextCol)).as("w"))
       .select(explode(gramsFromWords(col("w"), n)).as("gh"))

@@ -38,7 +38,13 @@ object Pack {
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(tokCol).cast("long").as("ntok"))
-    val maxId = base.agg(max("id")).collect()(0).getLong(0)
+    val bounds = base.agg(min("id"), max("id"), min("ntok")).collect()(0)
+    val maxId = bounds.getLong(1)
+    require(bounds.getLong(0) >= 0,
+      s"packOffsets: ids must be non-negative (min = ${bounds.getLong(0)}) — " +
+        "the arithmetic bucket assignment id*P/(maxId+1) assumes a dense non-negative key")
+    require(bounds.getLong(2) >= 0,
+      s"packOffsets: token counts must be non-negative (min = ${bounds.getLong(2)})")
     val withPid = base.withColumn("pid",
       (col("id") * partitions / (maxId + 1)).cast("int"))
     // pass 1: per-bucket totals -> exclusive prefix per bucket (driver,
