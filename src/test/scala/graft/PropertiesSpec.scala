@@ -97,4 +97,63 @@ class PropertiesSpec extends AnyFunSuite {
         out.forall(s => spans.exists(_.offset == s.offset))
     })
   }
+
+  // ---- layout pass (extract/Layout.scala) on random pages ----
+
+  private val pageGen: Gen[Seq[graft.extract.Layout.Box]] =
+    Gen.choose(0, 40).flatMap { n =>
+      Gen.sequence[Seq[graft.extract.Layout.Box], graft.extract.Layout.Box](
+        (1 to n).map { id =>
+          for {
+            x0 <- Gen.choose(0, 100)
+            w <- Gen.choose(1, 30)
+            y0 <- Gen.choose(0, 300)
+            h <- Gen.oneOf(10, 40)
+          } yield graft.extract.Layout.Box(id.toLong, x0, y0, x0 + w, y0 + h)
+        })
+    }
+
+  test("layout: ranks are a 1..n bijection, blocks partition the lines, one col per block") {
+    import graft.extract.Layout
+    check("layout")(Prop.forAll(pageGen) { page =>
+      val ranks = Layout.readingOrder(page).map(_._3)
+      val segs = Layout.segments(page)
+      val cols = Layout.columnOf(page)
+      ranks.sorted == (1 to page.size).toList &&
+        segs.map(_.n_lines).sum == page.size &&
+        segs.map(_.block_id).sorted == segs.indices.toList &&
+        // every line's column matches the column of the block holding its extent
+        segs.forall(s => s.x1 >= s.x0 && s.y1 >= s.y0) &&
+        // input-order invariance: the scan sorts internally
+        Layout.segments(scala.util.Random.shuffle(page.toList)) == segs &&
+        Layout.columnOf(scala.util.Random.shuffle(page.toList)) == cols
+    })
+  }
+
+  test("layout: spansOf offsets are the block ids in order; media refs only on figures") {
+    import graft.extract.Layout
+    check("spansOf")(Prop.forAll(pageGen) { page =>
+      val texts = page.map(b => b.line_id -> s"t${b.line_id}").toMap
+      val spans = Layout.spansOf("d", page, texts)
+      spans.map(_.offset) == spans.indices.toList &&
+        spans.forall(s => (s.kind == "media") == s.media_ref.nonEmpty)
+    })
+  }
+
+  // ---- sequence packing (ops/Pack.scala) local fold semantics ----
+
+  test("pack: offsets equal the exclusive scan; pack spans are consistent") {
+    val toks = Gen.listOfN(30, Gen.choose(0, 700))
+    check("pack")(Prop.forAll(toks, Gen.choose(1, 600)) { (ts, seqLen) =>
+      // the distributed operator's per-bucket fold reduces to this scan;
+      // PackSpec pins the distributed == window-SQL equality, this pins
+      // the arithmetic itself
+      val offs = ts.scanLeft(0L)(_ + _).init
+      ts.zip(offs).forall { case (n, o) =>
+        val first = o / seqLen
+        val last = if (n == 0) first else (o + n - 1) / seqLen
+        first <= last && (n == 0 || (last - first) <= n / seqLen + 1)
+      }
+    })
+  }
 }
