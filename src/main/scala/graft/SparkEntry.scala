@@ -339,5 +339,11 @@ object SparkEntry {
     shared.map { case (name, (_, duckSql)) => name -> duckSql } +
       ("v04_schema_export" -> SchemaExportOracle) +
       ("d07_dedup_components" -> TrainingQueries.D07OracleDuck) +
-      ("d08_embed_components" -> TrainingQueries.D08OracleDuck)
+      ("d08_embed_components" -> TrainingQueries.D08OracleDuck) +
+      // deterministic typed operators get direct DuckDB oracles too:
+      // the distributed implementation is hash-compared against an
+      // independent re-derivation, not just the spec-level parity
+      ("x17_layout_typed" -> LayoutQueries.X17OracleDuck) +
+      ("x18_decontaminate_grams" -> TrainingQueries.X18OracleDuck) +
+      ("x22_seq_pack" -> shared("t07_seq_pack")._2)
 }

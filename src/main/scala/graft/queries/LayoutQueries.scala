@@ -95,6 +95,30 @@ object LayoutQueries {
   private def sql(s: String): String =
     s.stripMargin.replace("\n", " ").replaceAll("\\s+", " ").trim
 
+  /** DuckDB oracle for x17_layout_typed: the typed layoutBlocks output
+    * re-derived as window SQL (l02 extents joined with l04 kinds), so the
+    * DISTRIBUTED typed operator is hash-compared against DuckDB directly —
+    * a stronger gate than the spec-level typed==SQL parity. */
+  val X17OracleDuck: String = sql(s"""WITH $Lines, $Cols, $Blocks, $TableRows,
+    |ext AS (
+    |  SELECT doc, block_id, CAST(count(*) AS INT) AS n_lines,
+    |         min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1
+    |  FROM blocks GROUP BY doc, block_id),
+    |tl AS (
+    |  SELECT b.doc, b.block_id,
+    |         CAST(sum(CASE WHEN t.y0 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS ntl
+    |  FROM blocks b LEFT JOIN trows t ON b.doc = t.doc AND b.y0 = t.y0
+    |  GROUP BY b.doc, b.block_id)
+    |SELECT e.doc, e.block_id,
+    |  CASE WHEN e.n_lines = 1 AND e.y1 - e.y0 >= 35 THEN 'figure'
+    |       WHEN tl.ntl >= 2 THEN 'table' ELSE 'text' END AS kind,
+    |  CASE WHEN e.n_lines = 1 AND e.y1 - e.y0 >= 35
+    |       THEN 'img_' || CAST(e.doc AS STRING) || '_' || CAST(e.block_id AS STRING)
+    |       ELSE '' END AS media_ref,
+    |  e.n_lines, e.x0, e.y0, e.x1, e.y1
+    |FROM ext e JOIN tl ON e.doc = tl.doc AND e.block_id = tl.block_id
+    |ORDER BY e.doc, e.block_id""")
+
   val all: Map[String, (String, String)] = Map(
 
     // L1 — column detection + reading-order sort (XY-cut projection step)

@@ -92,6 +92,23 @@ object TrainingQueries {
        |  LEFT JOIN contam c ON a.doc_id = c.doc_id)""".stripMargin
   }
 
+  /** DuckDB oracle for x18_decontaminate_grams: the 13-gram corpus/bench
+    * overlap recomputed with DuckDB list ops over gram STRINGS (the Spark
+    * side joins on xxhash64 keys; distinct-gram counts are equal). */
+  val X18OracleDuck: String = {
+    val ctext = Dialect.Ctext
+    s"""WITH base AS (SELECT doc_id, $ctext AS ctext FROM documents),
+       |w AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w FROM base),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+       |    THEN list_transform(range(1, len(w) - 11), i -> array_to_string(w[i:i+12], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM w) t),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+       |SELECT g.doc_id, CAST(count(*) AS INT) AS n_hits
+       |FROM g JOIN bg ON g.gram = bg.gram WHERE g.doc_id % 10 <> 7
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key
