@@ -177,7 +177,10 @@ object SparkEntry {
     "x19_ann_pq" -> ((s: SparkSession, dir: String) => {
       // product-quantization scale path: m-byte codes are the resident
       // index, ADC shortlist (TakeOrderedAndProject), exact re-rank on
-      // k*refine rows only (OpsSpec pins recall >= 0.9 vs brute force)
+      // k*refine rows only (OpsSpec pins recall >= 0.9 vs brute force).
+      // ksub=16 fits this 64-dim/5k-row corpus (sample >= ksub per
+      // subspace); production deployments use ksub=256 (byte codes) with
+      // the same operator parameters.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = queryVector(emb, dir)
       val corpus = emb.filter(col("vec_id") =!= 0)

@@ -30,7 +30,13 @@ object Pack {
 
   /** (idCol, n_tokens, offset, first_pack, last_pack) per doc. `tokCol`
     * must be a non-negative int column; docs with 0 tokens get
-    * last_pack = first_pack (empty span). */
+    * last_pack = first_pack (empty span).
+    *
+    * Sizing contract: a bucket (~N/partitions docs of (id, ntok) longs) is
+    * materialized and sorted inside one task, and `partitions` (pid,
+    * total) rows reach the driver — so size partitions ≈ N/10^6: buckets
+    * stay ~16 MB and even 10^12 docs need only 10^6 driver rows. The
+    * default 64 is a test-scale setting, not a corpus-scale one. */
   def packOffsets(docs: DataFrame, idCol: String, tokCol: String,
                   seqLen: Int, partitions: Int = 64): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen must be positive")
