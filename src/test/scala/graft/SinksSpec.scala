@@ -43,6 +43,22 @@ class SinksSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bt_contracts"); spark.sql("DROP TABLE bt_scores")
   }
 
+  test("ORC sink/source: contracts round-trip, predicate pushdown reaches the scan") {
+    // the second columnar format beside parquet (built-in; at 100 TB the
+    // choice is a config, and pushdown must survive it)
+    val dir = "/tmp/graft-test-orc"
+    val flat = Sinks.contractsFlat(extracted)
+    flat.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === flat.count())
+    val one = flat.select("doc_id").head.getString(0)
+    val q = back.filter(back("doc_id") === one).select("contract_number")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(s"EqualTo(doc_id,$one)"), // pushed, not post-filtered
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    assert(q.count() === 1)
+  }
+
   test("SNK6 summary + SNK3 envelope shapes") {
     val s = Sinks.summary(extracted).collect()
     assert(s.map(_.getLong(1)).sum == 500)
