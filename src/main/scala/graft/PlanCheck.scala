@@ -9,7 +9,9 @@ object PlanCheck {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("p01_title", "j04_region_rollup", "a01_pricing", "j05_pattern_match", "d03_minhash_sig")) {
+    for (q <- Seq("p01_title", "j04_region_rollup", "a01_pricing", "j05_pattern_match", "d03_minhash_sig",
+                  "l01_reading_order", "l04_block_kinds", "x17_layout_typed",
+                  "x18_decontaminate_grams", "x19_ann_pq", "x21_knn_join_lsh", "x22_seq_pack")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
