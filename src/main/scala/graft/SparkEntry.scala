@@ -285,6 +285,24 @@ object SparkEntry {
           docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // The full north-rule flow in one operator: positioned lines -> layout
+    // -> interleaved spans -> contract extraction (rows-only; every stage
+    // inside is oracle- or golden-gated individually)
+    "x23_layout_extract" -> ((s: SparkSession, dir: String) => {
+      val texts =
+        " CASE CAST(line_id % 7 AS INT)" +
+        "  WHEN 1 THEN 'Master Service Agreement'" +
+        "  WHEN 2 THEN 'Contract Number: MSA-2024-' || lpad(CAST(doc % 9999 AS STRING), 4, '0')" +
+        "  WHEN 3 THEN 'Client: Acme Corp'" +
+        "  WHEN 4 THEN 'Vendor: Beta Ltd'" +
+        "  WHEN 5 THEN 'Effective Date: 01/03/2024 Expiration Date: 01/03/2026'" +
+        "  ELSE 'Total Value: 1500,00' END AS text"
+      val lines = runShared(
+        "WITH " + LayoutQueries.Lines.replace("\n", " ") +
+          " SELECT doc, line_id, x0, y0, x1, y1," + texts + " FROM lines")(s, dir)
+      flatContracts(graft.extract.Layout.extractFromLines(lines).toDF())
+        .orderBy("doc_id")
+    }),
     // L1-L5 typed twin — the distributed Marker-style layout pass
     // (extract/Layout.scala): same page geometry as the l0* oracle queries,
     // laid out by the typed per-page operator (one shuffle on doc, then a

@@ -162,6 +162,30 @@ object Layout {
     }
   }
 
+  /** The full north-rule narrative in one distributed operator: positioned
+    * OCR lines → layout (columns, reading order, segmentation, kinds) →
+    * interleaved Span sequence → contract extraction. One shuffle on doc,
+    * then the per-page layout fold and the per-doc `Extract.parseBlocks`
+    * run narrowly inside the same task.
+    * Input columns: doc (long), line_id (long), x0..y1 (int), text
+    * (string, may be null for figure lines). */
+  def extractFromLines(lines: DataFrame): Dataset[graft.model.ContractRow] = {
+    val spark: SparkSession = lines.sparkSession
+    import spark.implicits._
+    lines
+      .select(col("doc").cast("long"), col("line_id").cast("long"),
+        col("x0").cast("int"), col("y0").cast("int"),
+        col("x1").cast("int"), col("y1").cast("int"), col("text").cast("string"))
+      .as[(Long, Long, Int, Int, Int, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (doc, it) =>
+        val rows = it.toSeq
+        val boxes = rows.map(r => Box(r._2, r._3, r._4, r._5, r._6))
+        val texts = rows.iterator.map(r => r._2 -> Option(r._7).getOrElse("")).toMap
+        Extract.parseBlocks(s"doc-$doc", spansOf(doc.toString, boxes, texts))
+      }
+  }
+
   /** Distributed typed path: one shuffle on `doc`, then a per-page fold.
     * Input columns: doc (long), line_id (int/long), x0, y0, x1, y1 (int).
     * Output: one row per block, ids in reading order — the interleaved

@@ -158,6 +158,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(row.client_name === "Acme Corp")
   }
 
+  test("extractFromLines: positioned lines -> layout -> spans -> contract, distributed") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "Master Service Agreement", 2L -> "Contract Number: K-0042",
+      3L -> "Client: Acme Corp Vendor: Beta Ltd", 4L -> "Total Value: US$ 50,000.00",
+      5L -> "", 6L -> "| a | b |", 7L -> "| c | d |", 8L -> "| 1 | 2 |", 9L -> "| 3 | 4 |")
+    val lines = page.map(b => (7L, b.line_id, b.x0, b.y0, b.x1, b.y1, texts(b.line_id)))
+      .toDF("doc", "line_id", "x0", "y0", "x1", "y1", "text")
+    val rows = graft.extract.Layout.extractFromLines(lines.repartition(5)).collect()
+    assert(rows.length === 1)
+    val row = rows.head
+    assert(row.doc_id === "doc-7")
+    assert(row.title === "Master Service Agreement")
+    assert(row.contract_number === "K-0042")
+    assert(row.client_name === "Acme Corp")
+    assert(row.vendor_name === "Beta Ltd")
+    assert(row.table_count >= 1)
+  }
+
   test("distributed layoutBlocks is repartition-invariant") {
     import spark.implicits._
     val lines = page.map(b => (7L, b.line_id, b.x0, b.y0, b.x1, b.y1))
