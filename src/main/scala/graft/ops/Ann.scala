@@ -336,6 +336,35 @@ object Ann {
         .limit(k)
     }
 
+    /** Persist the PQ index at its at-scale layout: the encoded corpus
+      * (id + m small codes — the m-byte-per-row resident form; vectors are
+      * NOT written) plus the codebooks as a small parquet. Re-ranking
+      * against a reopened index fetches vectors from the source table for
+      * the shortlist ids only. */
+    def writeIndex(encoded: DataFrame, idCol: String, cb: Codebooks,
+                   path: String): Unit = {
+      val spark = encoded.sparkSession
+      import spark.implicits._
+      encoded.select(col(idCol), col("code"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+      cb.centroids.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+
+    /** Reopen: (codes table, codebooks). */
+    def openIndex(spark: SparkSession, path: String): (DataFrame, Codebooks) = {
+      val cbDf = spark.read.parquet(s"$path/codebooks")
+        .orderBy("subspace", "centroid_id").collect()
+      val m = cbDf.map(_.getInt(0)).max + 1
+      val ksub = cbDf.map(_.getInt(1)).max + 1
+      val books = Array.ofDim[Array[Double]](m, ksub)
+      cbDf.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val dsub = books(0)(0).length
+      (spark.read.parquet(s"$path/codes"), Codebooks(m, dsub, ksub, books))
+    }
+
     /** IVF-PQ (faiss IndexIVFPQ composition): probe the query's nProbe
       * nearest IVF cells, then run the ADC shortlist + exact re-rank on
       * that slice only — the scan touches ~nProbe/nlist of the corpus AND

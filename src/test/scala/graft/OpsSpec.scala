@@ -200,6 +200,15 @@ class OpsSpec extends AnyFunSuite {
     // deterministic training: identical codebooks on retrain
     val cb2 = Ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 600)
     assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+    // PQ index persistence: codes + codebooks round-trip the at-scale
+    // m-byte layout (no vectors written)
+    val pqDir = "/tmp/graft-test-pq-index"
+    Ann.Pq.writeIndex(Ann.Pq.encode(emb, "embedding", cb), "vec_id", cb, pqDir)
+    val (codesBack, cbBack) = Ann.Pq.openIndex(spark, pqDir)
+    assert(cbBack.m === cb.m && cbBack.ksub === cb.ksub && cbBack.dsub === cb.dsub)
+    assert(cbBack.centroids.flatten.flatten.toSeq === cb.centroids.flatten.flatten.toSeq)
+    assert(codesBack.count() === emb.count())
+    assert(codesBack.columns.toSeq === Seq("vec_id", "code"))
     // IVF-PQ composition: probing half the cells still recalls >= 0.9 —
     // the planted cluster concentrates in the query's nearest cells
     val ivf = Ann.Ivf.buildIndex(emb, "vec_id", "embedding", nlist = 8, sampleN = 600)
