@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions.col
   *     a table row; ≥ 2 table rows make a table region, and a block with
   *     ≥ 2 of its lines on table rows is a table block.
   *
+  * Steps 1+3 together are one full XY-cut iteration (an x-projection cut
+  * into columns, then y-projection cuts into blocks). Real pages rarely
+  * nest deeper; a further recursion level would reapply `columnOf` inside
+  * each block — the rules are written as pure page-local functions so that
+  * composition needs no new machinery.
+  *
   * Every rule is integer arithmetic over sorted sequences, so each has a
   * window-function SQL twin (queries/LayoutQueries.scala l01–l04,
   * oracle-checked value-exact vs DuckDB); LayoutSpec additionally pins
