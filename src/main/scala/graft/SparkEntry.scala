@@ -144,6 +144,10 @@ object SparkEntry {
     "x07_ann_lsh" -> ((s: SparkSession, dir: String) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = queryVector(emb, dir)
+      // nBits sizes to the corpus: 4 bits = 16 buckets over ~10^2..10^3
+      // vectors (multiprobe scans 5/16); at 10^9+ rows use the operator
+      // default 8+ so buckets stay selective — same sizing rule the
+      // near-dup paths apply (and the rule the r2 x13 call site broke)
       ops.Ann.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 4)
     }),
     "x08_media_features" -> ((s: SparkSession, dir: String) => {
