@@ -59,6 +59,21 @@ class SinksSpec extends AnyFunSuite {
     assert(q.count() === 1)
   }
 
+  test("binaryFile source: raw docs round-trip, glob filters at listing time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val payloads = Map("a.pdf" -> Array[Byte](1, 2, 3), "b.pdf" -> Array[Byte](4, 5),
+      "skip.txt" -> Array[Byte](9))
+    payloads.foreach { case (n, bs) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), bs)
+    }
+    val docs = graft.io.Sources.binaryDocs(spark, dir)
+    val rows = docs.collect().map(r => r.getString(0) ->
+      (r.getLong(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    assert(rows.keySet === Set("a", "b")) // .txt pruned by the glob
+    assert(rows("a") === ((3L, Seq[Byte](1, 2, 3))))
+    assert(rows("b") === ((2L, Seq[Byte](4, 5))))
+  }
+
   test("SNK6 summary + SNK3 envelope shapes") {
     val s = Sinks.summary(extracted).collect()
     assert(s.map(_.getLong(1)).sum == 500)
