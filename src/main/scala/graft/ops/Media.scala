@@ -152,6 +152,23 @@ object Media {
     }
   }
 
+  /** Media table from RAW FILES (the `io.Sources.binaryDocs` shape:
+    * doc_id/filename/length/content): each file's bytes decode to a
+    * MediaRow — the ingestion→decode bridge where payloads come from
+    * storage instead of a ref fetch. Same narrow shape and per-row decode
+    * as `mediaTable`. */
+  def mediaTableFromFiles(files: DataFrame,
+                          codec: Codec = FakeCodec): Dataset[MediaRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("doc_id").cast("string"), col("filename"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .map { case (id, fn, bytes) =>
+        val (w, h, f) = codec.decode(bytes)
+        MediaRow(id, fn, bytes, w, h, f)
+      }
+  }
+
   /** Feature vectors per media item (batch shape: mapPartitions so a real
     * model could batch per partition). */
   def withFeatures(media: Dataset[MediaRow], dim: Int = 16,

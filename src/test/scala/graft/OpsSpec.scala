@@ -244,6 +244,24 @@ class OpsSpec extends AnyFunSuite {
     assert(nn.values.toSet.intersect((1L to 5L).toSet).isEmpty)
   }
 
+  test("ingestion to decode: binaryFile source feeds the real image codec") {
+    // genuine PNG files on disk -> binaryFile rows -> decode -> features
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgs").toString
+    val refs = Seq("corpus://img/901-0.jpg", "corpus://img/902-0.jpg")
+    val expected = refs.map { r =>
+      val bytes = Media.ImageIoCodec.fetchBytes(r) // deterministic real PNG
+      val name = r.split("/").last.replace(".jpg", ".png")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+      name.replace(".png", "") -> Media.ImageIoCodec.decode(bytes)
+    }.toMap
+    val files = graft.io.Sources.binaryDocs(spark, dir, glob = "*.png")
+    val media = Media.mediaTableFromFiles(files, Media.ImageIoCodec)
+    val got = media.collect().map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    assert(got === expected)
+    val feats = Media.withFeatures(media, codec = Media.ImageIoCodec)
+    assert(feats.count() === 2)
+  }
+
   test("IVF index on disk: partition-pruned probes, identical to in-memory") {
     import spark.implicits._
     import graft.gen.Corpus.mix
