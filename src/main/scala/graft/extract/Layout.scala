@@ -139,6 +139,52 @@ object Layout {
     (tys.size, cells, tys.size >= 2)
   }
 
+  /** Horizontal band split — the recursion step naive x-projection needs
+    * for pages where a FULL-WIDTH element (title, horizontal rule, banner)
+    * spans both columns: its x-interval would fuse the columns into one
+    * and interleave their reading order. Lines at least `spanFrac` of the
+    * page width are band separators; each separator is its own band, and
+    * the remaining lines fall into the band below the nearest separator
+    * above them (band index = count of separators with y0 ≤ the line's
+    * y0). Bands come back in top-down y order. The l0* SQL twins model the
+    * no-spanning-line case (which their derivation guarantees); this typed
+    * pre-pass handles the general page. */
+  def bands(boxes: Seq[Box], spanFrac: Double = 0.7): Seq[Seq[Box]] = {
+    if (boxes.isEmpty) return Seq.empty
+    val px0 = boxes.map(_.x0).min
+    val px1 = boxes.map(_.x1).max
+    val width = px1 - px0
+    val (seps, rest) = boxes.partition(b =>
+      width > 0 && (b.x1 - b.x0).toDouble / width >= spanFrac)
+    if (seps.isEmpty) return Seq(boxes)
+    val bounds = seps.map(_.y0).distinct.sorted
+    def bandIdx(y: Int): Int = bounds.count(_ <= y)
+    val sepBands = seps.groupBy(b => bandIdx(b.y0)) // separators at a bound
+    val restBands = rest.groupBy(b => bandIdx(b.y0))
+    (0 to bounds.length).flatMap { i =>
+      // the separator(s) OPENING band i sort before the band body
+      val opener = sepBands.getOrElse(i, Seq.empty).sortBy(b => (b.y0, b.line_id))
+      val body = restBands.getOrElse(i, Seq.empty)
+      (if (opener.nonEmpty && body.nonEmpty) Seq(opener, body)
+       else if (opener.nonEmpty) Seq(opener)
+       else if (body.nonEmpty) Seq(body)
+       else Seq.empty)
+    }
+  }
+
+  /** Reading order with the band pre-pass: (line, band, col, global rank).
+    * Within a band, `readingOrder`'s column rules apply unchanged. */
+  def readingOrderBanded(boxes: Seq[Box],
+                         spanFrac: Double = 0.7): Seq[(Box, Int, Int, Int)] = {
+    var rank = 0
+    bands(boxes, spanFrac).zipWithIndex.flatMap { case (band, bi) =>
+      readingOrder(band).map { case (b, c, _) =>
+        rank += 1
+        (b, bi, c, rank)
+      }
+    }
+  }
+
   /** Bridge into the engine's interleaved input shape (BASELINE input_hint):
     * ordered blocks → Span sequence, offsets = reading-order block ids, so
     * the layout output feeds `Extract.parseBlocks`/`markdownOf` directly.

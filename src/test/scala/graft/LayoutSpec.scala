@@ -158,6 +158,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(row.client_name === "Acme Corp")
   }
 
+  test("bands: a full-width title no longer fuses the columns") {
+    // title spans the whole page; naive x-merge would collapse both
+    // columns into one and interleave their reading order by y
+    val p = Seq(
+      Box(1, 0, 0, 95, 10),      // full-width title (band separator)
+      Box(2, 5, 20, 44, 30),     // L1
+      Box(3, 5, 32, 44, 42),     // L2
+      Box(4, 55, 20, 95, 30),    // R1
+      Box(5, 55, 32, 95, 42),    // R2
+      Box(6, 0, 60, 94, 70),     // full-width section rule (second separator)
+      Box(7, 5, 80, 44, 90),     // L3
+      Box(8, 55, 80, 95, 90))    // R3
+    // naive: one fused column, y-interleaved
+    val naive = Layout.readingOrder(p).map(_._1.line_id)
+    assert(Layout.columnOf(p).values.toSet.size === 1)
+    assert(naive === Seq(1L, 2L, 4L, 3L, 5L, 6L, 7L, 8L)) // L/R interleaved
+    // banded: title, then left column, then right column, per band
+    val banded = Layout.readingOrderBanded(p).map(_._1.line_id)
+    assert(banded === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val ranks = Layout.readingOrderBanded(p).map(_._4)
+    assert(ranks === (1 to 8))
+    // no separators -> identical to the plain path
+    val noSep = page
+    assert(Layout.readingOrderBanded(noSep).map(t => t._1.line_id -> t._4).toMap ===
+      Layout.readingOrder(noSep).map(t => t._1.line_id -> t._3).toMap)
+  }
+
   test("extractFromLines: positioned lines -> layout -> spans -> contract, distributed") {
     import spark.implicits._
     val texts = Map(
