@@ -185,6 +185,19 @@ object Layout {
     }
   }
 
+  /** Block segmentation with the band pre-pass: `segments`' rules per
+    * band, block ids renumbered globally in band order (a full-width
+    * separator line segments as its own block). */
+  def segmentsBanded(boxes: Seq[Box], spanFrac: Double = 0.7): Seq[Block] = {
+    var offset = 0
+    bands(boxes, spanFrac).flatMap { band =>
+      val segs = segments(band)
+      val out = segs.map(s => s.copy(block_id = s.block_id + offset))
+      offset += segs.size
+      out
+    }
+  }
+
   /** Bridge into the engine's interleaved input shape (BASELINE input_hint):
     * ordered blocks → Span sequence, offsets = reading-order block ids, so
     * the layout output feeds `Extract.parseBlocks`/`markdownOf` directly.

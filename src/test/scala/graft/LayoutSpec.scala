@@ -185,6 +185,19 @@ class LayoutSpec extends AnyFunSuite {
       Layout.readingOrder(noSep).map(t => t._1.line_id -> t._3).toMap)
   }
 
+  test("segmentsBanded: separators are their own blocks, columns segment per band") {
+    val p = Seq(
+      Box(1, 0, 0, 95, 10),      // full-width title
+      Box(2, 5, 20, 44, 30), Box(3, 5, 32, 44, 42),   // L para (merges)
+      Box(4, 55, 20, 95, 30), Box(5, 55, 32, 95, 42)) // R para (merges)
+    val segs = Layout.segmentsBanded(p)
+    assert(segs.map(_.block_id) === (0 until 3))
+    assert(segs.map(_.n_lines) === Seq(1, 2, 2))
+    assert(segs.head.x0 === 0 && segs.head.x1 === 95) // the title block
+    // without bands the fused column yields y-interleaved merge: one big block
+    assert(Layout.segments(p).map(_.n_lines) === Seq(5))
+  }
+
   test("extractFromLines: positioned lines -> layout -> spans -> contract, distributed") {
     import spark.implicits._
     val texts = Map(
