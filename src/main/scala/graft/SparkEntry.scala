@@ -222,6 +222,18 @@ object SparkEntry {
       ops.Pack.packOffsets(docs, "doc_id", "ntok", seqLen = 512)
         .orderBy("doc_id")
     }),
+    // A7 scale path — t-digest-style approximate quantiles (mergeable
+    // sketch, bounded memory per group; deterministic for a given input
+    // so the driver's rows check is stable)
+    "x24_value_quantiles_approx" -> ((s: SparkSession, dir: String) => {
+      runShared(
+        """SELECT l_returnflag,
+          | approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000) AS qs
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin.replace("\n", " "))(s, dir)
+        .selectExpr("l_returnflag", "round(qs[0], 2) AS q25",
+          "round(qs[1], 2) AS q50", "round(qs[2], 2) AS q95")
+    }),
     "x10_entity_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // tag entities over raw text (P16 heuristic path), A1 window dedup

@@ -105,6 +105,26 @@ object RelationalQueries {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // A7 — exact interpolated quantiles per group (the distribution-shape
+    // report every corpus audit ships). Spark `percentile` and DuckDB
+    // `quantile_cont` share the interpolation rule — probed value-equal at
+    // round(4). Exact percentile buffers a group's values, so THIS form is
+    // the parity baseline; at 10^12 rows the scale path is
+    // approx_percentile (x24, rows-only — sketches aren't cross-engine
+    // exact), the same baseline/scale-twin split as d06/x13.
+    "a07_value_quantiles" -> q { d =>
+      val qf: (String, String) => String = (c, p) =>
+        if (d.isSpark) s"round(percentile($c, $p), 4)"
+        else s"round(quantile_cont($c, $p), 4)"
+      s"""SELECT l_returnflag,
+         |  ${qf("l_extendedprice", "0.25")} AS q25,
+         |  ${qf("l_extendedprice", "0.5")} AS q50,
+         |  ${qf("l_extendedprice", "0.95")} AS q95,
+         |  round(max(l_extendedprice), 2) AS qmax
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
+    },
+
     // A2/A4 — TPC-H Q1-style pricing summary (flagship hash agg)
     "a01_pricing" -> q { d =>
       """SELECT l_returnflag, l_linestatus,
