@@ -125,6 +125,31 @@ object RelationalQueries {
          |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
     },
 
+    // A8 — distribution moments per group: stddev / correlation /
+    // covariance (identical SQL-standard definitions both engines; rounded
+    // so accumulation-order float noise cannot flip a digit). One partial
+    // hash agg — the moment sketches are mergeable, so this IS the scale
+    // shape (unlike a07's exact percentile).
+    "a08_distribution_stats" -> q { d =>
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_extendedprice), 4) AS cov_disc_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
+    },
+
+    // A9 — histogram: fixed-width binning + count per bin (the corpus
+    // length/size histograms every audit report carries). Floor-div bin
+    // arithmetic (width_bucket is missing in DuckDB 1.0) -> one hash agg;
+    // bins with no rows are absent in both engines.
+    "a09_price_histogram" -> q { d =>
+      """SELECT CAST(floor(l_extendedprice * 1e0 / 10000) AS INT) AS bin,
+        |  count(*) AS n, round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+    },
+
     // A2/A4 — TPC-H Q1-style pricing summary (flagship hash agg)
     "a01_pricing" -> q { d =>
       """SELECT l_returnflag, l_linestatus,
