@@ -150,6 +150,19 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
     },
 
+    // A10 — ROLLUP subtotals (the multi-level summary report shape).
+    // Subtotal rows' NULL keys are coalesced to a label IN the projection:
+    // Spark sorts NULLS FIRST and DuckDB NULLS LAST, so ordering on the
+    // coalesced value is the only dialect-stable form. Spark plans this
+    // as one Expand + hash agg — no extra pass per level.
+    "a10_rollup" -> q { d =>
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin.replace("\n", " ")
+    },
+
     // A2/A4 — TPC-H Q1-style pricing summary (flagship hash agg)
     "a01_pricing" -> q { d =>
       """SELECT l_returnflag, l_linestatus,
