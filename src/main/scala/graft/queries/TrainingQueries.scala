@@ -60,7 +60,9 @@ object TrainingQueries {
 
   /** Shared WITH-chain for the d11/a06 decision layer: per-doc first-hit
     * decision over exact-dup keeper (d01 key), contamination (d09 bench),
-    * and quality (t02 predicate). Ends with CTE `decided`. */
+    * and quality (t02's token/punct predicate plus the C4-style 150-char
+    * minimum-length floor — the floor is what fires on this corpus, so
+    * every decision branch is exercised). Ends with CTE `decided`. */
   private def decisionBody(d: D): String = {
     val ctext = Dialect.Ctext
     val nTok = d.size("regexp_extract_all(text, '\\S+', 0)")
@@ -69,6 +71,7 @@ object TrainingQueries {
        |  SELECT doc_id, md5(substr(text, 1, 24)) AS key,
        |         CASE WHEN $nTok >= 10
        |               AND $nPunct * 1e0 / nullif(length(text), 0) < 0.2
+       |               AND length(text) >= 150
        |              THEN 1 ELSE 0 END AS quality_ok,
        |         $ctext AS ctext
        |  FROM documents),
