@@ -140,6 +140,17 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("layout banded: ranks stay a bijection, blocks still partition the lines") {
+    import graft.extract.Layout
+    check("banded")(Prop.forAll(pageGen) { page =>
+      val ranks = Layout.readingOrderBanded(page).map(_._4)
+      val segs = Layout.segmentsBanded(page)
+      ranks.sorted == (1 to page.size).toList &&
+        segs.map(_.n_lines).sum == page.size &&
+        segs.map(_.block_id).sorted == segs.indices.toList
+    })
+  }
+
   // ---- sequence packing (ops/Pack.scala) local fold semantics ----
 
   test("pack: offsets equal the exclusive scan; pack spans are consistent") {
