@@ -275,6 +275,33 @@ object RelationalQueries {
          |ORDER BY hour_ts, event_type""".stripMargin.replace("\n", " ")
     },
 
+    // W7 — ntile quartiles: size-quartile assignment per doc (the corpus
+    // "bucket by length percentile" stratification move). Deterministic
+    // full ordering (n_chars, doc_id) so tile boundaries cannot flip
+    // between engines.
+    "w07_ntile_quartiles" -> q { d =>
+      """SELECT doc_id, n_chars,
+        |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS size_quartile
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // W8 — lag deltas: per-user inter-event gap seconds and value delta
+    // (sessionization's first step; one window over the (user, ts) sort).
+    "w08_event_deltas" -> q { d =>
+      val prevTs = "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      // exact microsecond epochs in both engines — second-level helpers
+      // floor per-timestamp (Spark) vs per-interval (DuckDB) and go off
+      // by one when sub-second parts straddle
+      val gap =
+        // ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast is lossless
+        if (d.isSpark) s"unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST($prevTs AS TIMESTAMP))"
+        else s"epoch_us(ts) - epoch_us($prevTs)"
+      s"""SELECT user_id, event_id,
+         |  coalesce($gap, -1) AS gap_us,
+         |  round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0), 4) AS value_delta
+         |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+    },
+
     // S1 — retry-queue batch filter
     "s01_retry_ready" -> q { d =>
       """SELECT event_id AS item_id, attempts FROM (
