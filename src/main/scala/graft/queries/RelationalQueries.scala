@@ -302,6 +302,24 @@ object RelationalQueries {
          |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
     },
 
+    // W9 — RANGE frame + first_value: trailing-hour event count per user
+    // (a numeric RANGE over exact epoch micros — interval RANGE literals
+    // differ across engines, epoch arithmetic doesn't) and the user's
+    // first event value. RANGE includes order-key peers by definition in
+    // both engines.
+    "w09_trailing_hour" -> q { d =>
+      val us =
+        if (d.isSpark) "unix_micros(CAST(ts AS TIMESTAMP))"
+        else "epoch_us(ts)"
+      s"""WITH e AS (SELECT user_id, event_id, $us AS us, value FROM events)
+         |SELECT user_id, event_id,
+         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS INT) AS n_trailing_hour,
+         |  round(first_value(value) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id), 4) AS first_val
+         |FROM e ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+    },
+
     // S1 — retry-queue batch filter
     "s01_retry_ready" -> q { d =>
       """SELECT event_id AS item_id, attempts FROM (
