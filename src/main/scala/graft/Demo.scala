@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 
 /** End-to-end driver for the extraction engine: synthesize the interleaved
@@ -22,9 +23,22 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
     // start from a clean output dir: the demo re-runs into the same path,
     // and a stale pre-partitioned layout must not mix with the snapshot
-    // partitions (dynamic overwrite only replaces the partitions it writes)
+    // partitions (dynamic overwrite only replaces the partitions it writes).
+    // Deletion guard: only wipe a dir this demo created (it carries a
+    // _manifest_*.json marker) or an empty one — a mistyped path argument
+    // must not walk-and-delete an arbitrary tree.
     val outPath = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(outPath)) {
+      val entries = {
+        val s = java.nio.file.Files.list(outPath)
+        try s.iterator().asScala.toList finally s.close()
+      }
+      val looksOwned = entries.isEmpty ||
+        entries.exists(_.getFileName.toString.matches("_manifest_.*\\.json"))
+      require(looksOwned,
+        s"refusing to delete $outDir: it is non-empty and carries no " +
+          "_manifest_*.json marker, so it was not written by this demo — " +
+          "pass a fresh or demo-owned output dir")
       java.nio.file.Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }

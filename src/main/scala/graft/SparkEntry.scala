@@ -131,15 +131,23 @@ object SparkEntry {
     }),
     "x05_minhash_pairs" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      ops.Dedup.minhashCandidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+      // drop accumulator threaded AND surfaced as a constant column: the
+      // driver-visible rows themselves carry the coverage-loss signal, so
+      // a bucket-capped corpus can't silently read as "no dups" (the
+      // count is final before this function returns — capByKey adds to
+      // the accumulator eagerly at plan-build time)
+      val acc = s.sparkContext.longAccumulator("x05_dropped_rows")
+      ops.Dedup.minhashCandidates(docs, "doc_id", "text", droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value)).orderBy("doc_a", "doc_b")
     }),
     "x06_simhash_pairs" -> ((s: SparkSession, dir: String) => {
       // maxDist=3 -> 4 pigeonhole blocks of 16 bits = 65536 keys/block, so
       // the block equi-join stays selective at 10^12 docs (maxDist=12 gave
       // 4-bit blocks = 16 keys -> near-cartesian; VERDICT r1 #2).
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      ops.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
-        .orderBy("doc_a", "doc_b")
+      val acc = s.sparkContext.longAccumulator("x06_dropped_rows")
+      ops.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value)).orderBy("doc_a", "doc_b")
     }),
     "x07_ann_lsh" -> ((s: SparkSession, dir: String) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -167,9 +175,10 @@ object SparkEntry {
       // (recall property vs brute force in OpsSpec) — the r2 call site's
       // nBits=1 half-space buckets silently exceeded maxBucket at scale.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val acc = s.sparkContext.longAccumulator("x13_dropped_rows")
       ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4, dim = 64,
-          nBits = 8, nTables = 4)
-        .orderBy("vec_a", "vec_b")
+          nBits = 8, nTables = 4, droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value)).orderBy("vec_a", "vec_b")
     }),
     "x14_ann_ivf" -> ((s: SparkSession, dir: String) => {
       // IVF scale path: centroids from a bounded sample, probe 2/8 cells
@@ -209,9 +218,29 @@ object SparkEntry {
     // OpsSpec; d12 is the value-exact brute twin)
     "x21_knn_join_lsh" -> ((s: SparkSession, dir: String) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val acc = s.sparkContext.longAccumulator("x21_dropped_rows")
       ops.Ann.knnJoin(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 3, dim = 64, nBits = 8, nTables = 4)
+          emb, "vec_id", "embedding", k = 3, dim = 64, nBits = 8, nTables = 4,
+          droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value))
         .orderBy("query_id", "neighbor_id")
+    }),
+    // The build-once/query-many ANN shape a 100 TB deployment actually
+    // runs: IVF index WRITTEN partitioned-by-cell, REOPENED from disk,
+    // probed through the partition-pruned scan (IvfIndexSpec asserts
+    // PartitionFilters on this exact path and value-equality with the
+    // in-memory x14 form).
+    "x25_ann_served" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_x25_ivf_index").getAbsolutePath
+      val built = ops.Ann.Ivf.buildIndex(corpus, "vec_id", "embedding",
+        nlist = 8, sampleN = 400)
+      ops.Ann.Ivf.writeIndex(built, idxPath)
+      val served = ops.Ann.Ivf.openIndex(s, idxPath, "vec_id", "embedding")
+      ops.Ann.Ivf.topKIndexed(served, q, 10, nProbe = 2)
     }),
     // T7 scale path — distributed two-pass prefix-sum packing (the window
     // twin t07_seq_pack is the value-exact oracle; PackSpec pins equality)
@@ -262,6 +291,14 @@ object SparkEntry {
           length(col("resized")).as("resized_bytes"), md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id", "media_ref")
     }),
+    // Audio modality — REAL WAV containers (javax.sound.sampled): synth
+    // PCM -> RIFF encode -> header + sample decode -> windowed RMS /
+    // zero-crossing features, one row per (clip, window)
+    "x26_audio_features" -> ((s: SparkSession, dir: String) => {
+      val audio = ops.Media.audioTable(gen.Corpus.corpus(s, dir))
+      ops.Media.audioFeatures(audio, windows = 4)
+        .orderBy("doc_id", "media_ref", "window_idx")
+    }),
     "x11_sampleby" -> ((s: SparkSession, dir: String) => {
       // DataFrameStatFunctions.sampleBy — the reference's stratified
       // sampling (openai_contract_explorer.py:229-310) via the built-in
@@ -302,20 +339,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // The full north-rule flow in one operator: positioned lines -> layout
-    // -> interleaved spans -> contract extraction (rows-only; every stage
-    // inside is oracle- or golden-gated individually)
+    // -> interleaved spans -> contract extraction. Value-exact oracle
+    // (LayoutQueries.X23OracleDuck): the l0* layout CTEs composed with the
+    // block-fold extraction SQL, sharing the SAME line-text derivation
+    // (LayoutQueries.LineTextCase) — the whole composition is
+    // hash-compared vs an independent DuckDB re-derivation.
     "x23_layout_extract" -> ((s: SparkSession, dir: String) => {
-      val texts =
-        " CASE CAST(line_id % 7 AS INT)" +
-        "  WHEN 1 THEN 'Master Service Agreement'" +
-        "  WHEN 2 THEN 'Contract Number: MSA-2024-' || lpad(CAST(doc % 9999 AS STRING), 4, '0')" +
-        "  WHEN 3 THEN 'Client: Acme Corp'" +
-        "  WHEN 4 THEN 'Vendor: Beta Ltd'" +
-        "  WHEN 5 THEN 'Effective Date: 01/03/2024 Expiration Date: 01/03/2026'" +
-        "  ELSE 'Total Value: 1500,00' END AS text"
       val lines = runShared(
         "WITH " + LayoutQueries.Lines.replace("\n", " ") +
-          " SELECT doc, line_id, x0, y0, x1, y1," + texts + " FROM lines")(s, dir)
+          " SELECT doc, line_id, x0, y0, x1, y1, " +
+          LayoutQueries.LineTextCase + " AS text FROM lines")(s, dir)
       flatContracts(graft.extract.Layout.extractFromLines(lines).toDF())
         .orderBy("doc_id")
     }),
@@ -382,5 +415,6 @@ object SparkEntry {
       // independent re-derivation, not just the spec-level parity
       ("x17_layout_typed" -> LayoutQueries.X17OracleDuck) +
       ("x18_decontaminate_grams" -> TrainingQueries.X18OracleDuck) +
-      ("x22_seq_pack" -> shared("t07_seq_pack")._2)
+      ("x22_seq_pack" -> shared("t07_seq_pack")._2) +
+      ("x23_layout_extract" -> LayoutQueries.X23OracleDuck)
 }

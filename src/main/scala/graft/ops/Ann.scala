@@ -18,6 +18,26 @@ object Ann {
        |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (p, q) -> p + q))))"""
       .stripMargin.replace("\n", " ")
 
+  /** Deterministic UNBIASED training sample for the quantizer trainers: a
+    * seeded hash filter over ids (`pmod(xxhash64(id, salt), m) == 0`, with
+    * `m` sized from one narrow count so ~sampleN rows survive) — one
+    * narrow pass over the corpus, no corpus-wide TakeOrdered, and no
+    * id-prefix bias (the r3 form took the first sampleN rows BY ID, which
+    * skews the codebooks whenever ids correlate with content — they do in
+    * most real ingestion orders). The tiny surviving set is sorted by id
+    * so Lloyd iterations fold floats in a stable order (exact
+    * deterministic retrain). */
+  private[ops] def hashSample(embeddings: DataFrame, idCol: String,
+                              vecCol: String, sampleN: Int): Array[Array[Double]] = {
+    val n = embeddings.count()
+    val m = math.max(1L, n / math.max(1, sampleN))
+    embeddings
+      .filter(pmod(xxhash64(col(idCol), lit("graft-sample")), lit(m)) === 0)
+      .orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
+
   /** Brute-force top-k for one query vector (broadcast the 1-row query). */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
@@ -71,15 +91,12 @@ object Ann {
     * order-stable: same centroids on every run/cluster. */
   object Ivf {
 
-    /** Deterministic Lloyd k-means on the first `sampleN` vectors by id.
-      * Empty cells re-seed from the sample (seeded pick) so nlist cells
-      * always come back. */
+    /** Deterministic Lloyd k-means on an unbiased seeded-hash sample of
+      * ~`sampleN` vectors (see [[Ann.hashSample]]). Empty cells re-seed
+      * from the sample (seeded pick) so nlist cells always come back. */
     def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                        nlist: Int, iters: Int = 10, sampleN: Int = 2048): Array[Array[Double]] = {
-      val sample: Array[Array[Double]] = embeddings
-        .orderBy(col(idCol)).limit(sampleN)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN)
       require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
       var centroids = Array.tabulate(nlist) { i =>
         sample(((graft.gen.Corpus.mix(42L + i) % sample.length + sample.length) % sample.length).toInt)
@@ -233,16 +250,14 @@ object Ann {
     case class Codebooks(m: Int, dsub: Int, ksub: Int,
                          centroids: Array[Array[Array[Double]]])
 
-    /** Deterministic per-subspace Lloyd on a bounded sample by id. */
+    /** Deterministic per-subspace Lloyd on an unbiased seeded-hash sample
+      * (see [[Ann.hashSample]]). */
     def train(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
               m: Int = 8, ksub: Int = 16, sampleN: Int = 2048,
               iters: Int = 10): Codebooks = {
       require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
       val dsub = dim / m
-      val sample: Array[Array[Double]] = embeddings
-        .orderBy(col(idCol)).limit(sampleN)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN)
       require(sample.length >= ksub, s"need >= $ksub sample vectors, got ${sample.length}")
       val books = Array.tabulate(m) { j =>
         val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
@@ -419,17 +434,18 @@ object Ann {
       .select(col("qid"), col("qv"), posexplode(buckets(col("qv"))).as(Seq("tbl", "bucket")))
     val cbk = corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
       .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
-    val bounded = DropStats.cappedFilter(
-      cbk.withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket"))),
-      col("bucket_n") <= maxBucket, droppedRows)
-      .drop("bucket_n")
+    val bounded = DropStats.capByKey(cbk, Seq("tbl", "bucket"), maxBucket, droppedRows)
     val cand = qb.join(bounded, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "cid", "cv")
-    val deduped = if (nTables == 1) cand else cand.dropDuplicates("qid", "cid")
-    val scored = deduped
+    // score then dedup on scalars (hash agg), not dropDuplicates over the
+    // vector-carrying rows (first(array) -> SortAggregate) — see
+    // neardupPairs; the per-query top-k window below is the only sort
+    val scored0 = cand
       .withColumn("cos_sim", round(expr(cosExpr("qv", "cv")), 6))
+      .select("qid", "cid", "cos_sim")
+    val deduped = if (nTables == 1) scored0 else scored0.distinct()
+    val scored = deduped
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(desc("cos_sim"), col("cid"))))
@@ -464,22 +480,26 @@ object Ann {
     val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"),
         posexplode(bucketsOf(col("v"))).as(Seq("tbl", "bucket")))
-    val bounded = DropStats.cappedFilter(
-      bucketed.withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket"))),
-      col("bucket_n") <= maxBucket, droppedRows)
-      .drop("bucket_n")
+    val bounded = DropStats.capByKey(bucketed, Seq("tbl", "bucket"), maxBucket, droppedRows)
     val joined = bounded.as("a").join(bounded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         col("a.v").as("va"), col("b.v").as("vb"))
-    // one table cannot produce duplicate pairs — skip the dedup shuffle
-    val deduped = if (nTables == 1) joined else joined.dropDuplicates("vec_a", "vec_b")
-    deduped
+    // score BEFORE deduping: the cosine is deterministic per pair, so the
+    // multi-table dedup becomes a distinct over three SCALAR columns — a
+    // partial+final HashAggregate. Deduping first (dropDuplicates carrying
+    // the vector columns) forces first(array) agg buffers, which fall back
+    // to a SortAggregate of the candidate set — the sort the r4 cap
+    // rewrite exists to eliminate. A pair colliding in k tables pays k
+    // codegen'd cosine evals instead; threshold-filtering first shrinks
+    // the distinct input further.
+    val scored = joined
       .withColumn("cos_sim", round(expr(cosExpr("va", "vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
+    // one table cannot produce duplicate pairs — skip the dedup shuffle
+    if (nTables == 1) scored else scored.distinct()
   }
 
   /** LSH top-k: restrict the cosine scan to the query's bucket PLUS its

@@ -59,11 +59,7 @@ object Dedup {
     val keyed = sigs.select(col(idCol).as("id") +: bandKeys: _*)
     val buckets = keyed.select(col("id"),
       posexplode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as(Seq("band", "h")))
-    val bounded = DropStats.cappedFilter(
-      buckets.withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "h"))),
-      col("bucket_n") <= maxBucket, droppedRows)
-      .drop("bucket_n")
+    val bounded = DropStats.capByKey(buckets, Seq("band", "h"), maxBucket, droppedRows)
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
@@ -95,15 +91,24 @@ object Dedup {
     *  - every round is equi-joins + hash aggregates only (no cartesian, no
     *    driver-side union-find); rounds converge in O(log n) — the only CC
     *    shape that survives a 10^12-node pair graph;
-    *  - each round's edge set is LOCAL-CHECKPOINTED (eager): without the
+    *  - each round's edge set is CHECKPOINTED (eager): without the
     *    lineage cut the logical plan quadruples per round and Catalyst
     *    analysis goes exponential by round ~8 — caching alone does NOT
-    *    help, the analyzer still walks the full tree. On a real cluster
-    *    this is a reliable `checkpoint` to the cluster FS;
+    *    help, the analyzer still walks the full tree. By default the cut
+    *    is `localCheckpoint` (executor-local blocks — fastest, fine for
+    *    a single-JVM run); pass `checkpointDir` for the fault-tolerant
+    *    form a real cluster needs: per-round edge sets go to the
+    *    reliable FS via `df.checkpoint()`, so a lost executor replays
+    *    from the checkpoint instead of failing the job;
     *  - convergence is detected by an (edge count, xxhash64 xor) signature
     *    — one cheap aggregate per round. */
   def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges0.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val canonical = edges0
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -116,7 +121,7 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var edges = canonical.localCheckpoint(true)
+    var edges = cut(canonical)
     var sig = signature(edges)
     var round = 0
     var stable = false
@@ -144,9 +149,9 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // eager: cut lineage, blocks cleaned by ContextCleaner
-      val nextSig = signature(next)
-      edges = next
+      val cutNext = cut(next) // eager: cut lineage, blocks cleaned by ContextCleaner
+      val nextSig = signature(cutNext)
+      edges = cutNext
       stable = nextSig == sig
       sig = nextSig
       round += 1
@@ -233,11 +238,7 @@ object Dedup {
       posexplode(array((0 until blocks).map { b =>
         expr(s"CAST(shiftright(simhash, ${b * width}) & ${(1L << width) - 1} AS BIGINT)")
       }: _*)).as(Seq("blk", "key")))
-    val bounded = DropStats.cappedFilter(
-      keyed.withColumn("bucket_n", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("blk", "key"))),
-      col("bucket_n") <= maxBucket, droppedRows)
-      .drop("bucket_n")
+    val bounded = DropStats.capByKey(keyed, Seq("blk", "key"), maxBucket, droppedRows)
     bounded.as("a").join(bounded.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -25,4 +25,28 @@ object DropStats {
     acc.foreach(_.add(df.filter(!keep).count()))
     df.filter(keep)
   }
+
+  /** Drop every row whose `keys`-bucket holds more than `maxBucket` rows,
+    * WITHOUT a window: over-cap keys come from a `groupBy(keys).count()`
+    * (partial+final hash aggregate, no sort) and are removed by a
+    * left-anti join on the same keys. The r3 form — `count(*) OVER
+    * (PARTITION BY keys)` — forced a full shuffle+SORT of the bucketed
+    * corpus per table; at 10^12 rows that sort was the single heaviest
+    * avoidable cost in the dedup tier. The over-cap key list is tiny by
+    * construction (<= n/maxBucket keys), so the anti-join is
+    * broadcast-able, and its shuffle key equals the self-join key the
+    * callers apply next, so the exchange is reused. Semantics are
+    * row-identical to the window form; drops are counted exactly via one
+    * cheap aggregate over the over-cap keys when `acc` is supplied. */
+  def capByKey(df: DataFrame, keys: Seq[String], maxBucket: Int,
+               acc: Option[LongAccumulator]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val overCap = df.groupBy(keys.map(col): _*)
+      .agg(count("*").as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+    acc.foreach { a =>
+      a.add(overCap.agg(coalesce(sum("bucket_n"), lit(0L))).head().getLong(0))
+    }
+    df.join(overCap.select(keys.map(col): _*), keys, "left_anti")
+  }
 }

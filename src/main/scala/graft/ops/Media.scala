@@ -25,8 +25,11 @@ object Media {
     def decode(bytes: Array[Byte]): (Int, Int, String)
     /** Fixed-width feature vector (real impl: image embedding model). */
     def features(bytes: Array[Byte], dim: Int): Array[Float]
-    /** Sample k frame offsets (ms) from a video-like payload. */
-    def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int]
+    /** Number of decodable frames in the container (1 for still images). */
+    def frameCount(bytes: Array[Byte]): Int
+    /** Decode frame `i` and re-encode it standalone (PNG for the real
+      * codec) — actual per-frame pixels, the video-modality decode seam. */
+    def frameAt(bytes: Array[Byte], i: Int): Array[Byte]
   }
 
   /** STUB: deterministic fake codec. Byte payloads and "decoded" metadata
@@ -47,53 +50,91 @@ object Media {
         val h = graft.gen.Corpus.mix(java.util.Arrays.hashCode(bytes).toLong + i)
         (h >>> 40).toFloat / (1L << 24).toFloat - 0.5f
       }
-    def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int] =
-      (0 until k).map(i => math.abs(graft.gen.Corpus.mix(bytes.length + i) % 10000).toInt).sorted
+    def frameCount(bytes: Array[Byte]): Int =
+      1 + math.abs(graft.gen.Corpus.mix(bytes.length.toLong) % 4).toInt
+    def frameAt(bytes: Array[Byte], i: Int): Array[Byte] = {
+      val h = graft.gen.Corpus.mix(java.util.Arrays.hashCode(bytes).toLong * 131 + i)
+      Array.tabulate(32)(j => graft.gen.Corpus.mix(h + j).toByte)
+    }
   }
 
   /** REAL codec on the JDK's built-in `javax.imageio` — zero new
     * dependencies, genuine byte streams. `fetchBytes` synthesizes an
-    * actual PNG (deterministic pixels from the media_ref; in production
-    * this method is an object-store read and everything else ships
-    * as-is), `decode` reads the real container header back through an
-    * ImageReader (width/height + reader-reported format name), `features`
-    * averages decoded RGB over a column grid, `frameOffsets` derives
-    * deterministic sample points from the decoded dimensions. Retires the
-    * FakeCodec stub as the only untested decode path (VERDICT r2 missing
-    * #2); FakeCodec remains for speed-insensitive plumbing tests. */
+    * actual container (deterministic pixels from the media_ref; in
+    * production this method is an object-store read and everything else
+    * ships as-is): a still PNG for image-kind refs, a genuine MULTI-FRAME
+    * animated GIF for a deterministic ~25% "video-kind" subset of corpus
+    * refs — so the frame path decodes real per-frame pixels from a real
+    * multi-frame container, not synthetic offsets. `decode` reads the
+    * container header back through an ImageReader (width/height +
+    * reader-reported format name), `features` averages decoded RGB over a
+    * column grid, `frameCount`/`frameAt` walk the container's image
+    * sequence (`reader.getNumImages`/`read(i)`). FakeCodec remains for
+    * speed-insensitive plumbing tests. */
   object ImageIoCodec extends Codec {
-    def fetchBytes(mediaRef: String): Array[Byte] = {
+
+    /** Deterministic "video-kind" rule for SYNTHESIZED corpus refs: jpg
+      * refs whose seed hash lands in the low quarter become multi-frame
+      * GIFs (2-5 frames). Explicit .png/.gif extensions are honored. */
+    private def framesFor(mediaRef: String): Int = {
       val h = graft.gen.Corpus.mix(mediaRef.hashCode.toLong)
-      val w = 8 + math.abs(h % 24).toInt
-      val ht = 8 + math.abs((h >>> 16) % 24).toInt
+      if (mediaRef.endsWith(".png")) 1
+      else if (mediaRef.endsWith(".gif")) 2 + math.abs((h >>> 8) % 4).toInt
+      else if ((h & 3) == 0) 2 + math.abs((h >>> 8) % 4).toInt
+      else 1
+    }
+
+    private def frameImage(h: Long, frame: Int, w: Int, ht: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < ht) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, (graft.gen.Corpus.mix(h + y.toLong * w + x) & 0xFFFFFF).toInt)
+          img.setRGB(x, y,
+            (graft.gen.Corpus.mix(h + frame.toLong * 7919L * w * ht + y.toLong * w + x) & 0xFFFFFF).toInt)
           x += 1
         }
         y += 1
       }
+      img
+    }
+
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
-    def decode(bytes: Array[Byte]): (Int, Int, String) = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"no ImageIO reader for ${bytes.length}-byte payload")
-        val r = readers.next()
-        r.setInput(iis)
-        try ((r.getWidth(0), r.getHeight(0),
-          r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
-        finally r.dispose()
-      } finally iis.close()
+
+    def fetchBytes(mediaRef: String): Array[Byte] = {
+      val h = graft.gen.Corpus.mix(mediaRef.hashCode.toLong)
+      val w = 8 + math.abs(h % 24).toInt
+      val ht = 8 + math.abs((h >>> 16) % 24).toInt
+      val n = framesFor(mediaRef)
+      if (n == 1) encodePng(frameImage(h, 0, w, ht))
+      else {
+        // a real animated GIF: ImageIO's sequence writer, one image per
+        // frame — reader.getNumImages(true) sees them all
+        val baos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var i = 0
+          while (i < n) {
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(frameImage(h, i, w, ht), null, null), null)
+            i += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        baos.toByteArray
+      }
     }
+    def decode(bytes: Array[Byte]): (Int, Int, String) =
+      withReader(bytes)(r => (r.getWidth(0), r.getHeight(0),
+        r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "undecodable image payload")
@@ -124,12 +165,153 @@ object Media {
       }
       out
     }
-    def frameOffsets(bytes: Array[Byte], k: Int): Seq[Int] = {
-      val (w, h, _) = decode(bytes)
-      (0 until k)
-        .map(i => math.abs(graft.gen.Corpus.mix(w.toLong * 31 + h + i) % 10000).toInt)
-        .sorted
+    private def withReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no ImageIO reader for ${bytes.length}-byte payload")
+        val r = readers.next()
+        r.setInput(iis)
+        try f(r) finally r.dispose()
+      } finally iis.close()
     }
+
+    /** REAL frame count from the container's image sequence. */
+    def frameCount(bytes: Array[Byte]): Int =
+      withReader(bytes)(_.getNumImages(true))
+
+    /** REAL frame decode: image `i` of the container, re-encoded as a
+      * standalone PNG (actual pixels — the codec test pins per-frame
+      * digests differ across frames of one GIF). */
+    def frameAt(bytes: Array[Byte], i: Int): Array[Byte] =
+      withReader(bytes) { r =>
+        val img = r.read(i)
+        // normalize to RGB so the digest reflects pixels, not the palette
+        val rgb = new java.awt.image.BufferedImage(
+          img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        encodePng(rgb)
+      }
+  }
+
+  /** REAL audio codec on the JDK's built-in `javax.sound.sampled` — zero
+    * new dependencies, genuine WAV byte streams. `fetchBytes` synthesizes
+    * deterministic 16-bit mono PCM (seeded harmonic + noise mix, StrictMath
+    * so every JVM renders identical samples) wrapped in an actual RIFF/WAVE
+    * container by `AudioSystem.write`; in production this method is an
+    * object-store read and everything else ships as-is. `decode` reads the
+    * real container header back (sample rate / channels / frame count),
+    * `pcm` decodes the real sample stream, and `features` computes windowed
+    * RMS + zero-crossing rate over those decoded samples — the standard
+    * audio-quality signals a training-data pipeline filters on. */
+  object WavCodec extends Serializable {
+    val SampleRate = 8000f
+
+    def fetchBytes(mediaRef: String): Array[Byte] = {
+      val h = graft.gen.Corpus.mix(mediaRef.hashCode.toLong)
+      val n = 800 + math.abs(h % 1600).toInt // 0.1-0.3 s at 8 kHz
+      val freq = 200.0 + math.abs((h >>> 16) % 1000).toDouble
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val noise = (graft.gen.Corpus.mix(h + i) >> 40).toDouble / (1L << 24).toDouble
+        val s = 0.6 * StrictMath.sin(2.0 * StrictMath.PI * freq * i / SampleRate) + 0.2 * noise
+        val v = math.max(-32768, math.min(32767, (s * 32767.0).toInt))
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Real RIFF header decode: (sampleRate, channels, nFrames). */
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+        aff.getFrameLength.toLong)
+    }
+
+    /** Real PCM decode: signed 16-bit little-endian samples. */
+    def pcm(bytes: Array[Byte]): Array[Short] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        out
+      } finally ais.close()
+    }
+
+    /** Windowed (rms, zeroCrossingRate) over the decoded samples: the clip
+      * splits into `windows` equal spans; rms is normalized to [0, 1]. */
+    def features(bytes: Array[Byte], windows: Int): Seq[(Double, Double)] = {
+      require(windows >= 1, s"windows=$windows must be >= 1")
+      val s = pcm(bytes)
+      if (s.isEmpty) return Seq.fill(windows)((0.0, 0.0))
+      (0 until windows).map { w =>
+        val lo = (w.toLong * s.length / windows).toInt
+        val hi = math.max(lo + 1, ((w + 1).toLong * s.length / windows).toInt)
+        var sq = 0.0
+        var zc = 0
+        var i = lo
+        while (i < hi && i < s.length) {
+          val v = s(i).toDouble / 32768.0
+          sq += v * v
+          if (i > lo && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        val n = math.min(hi, s.length) - lo
+        (StrictMath.sqrt(sq / n), zc.toDouble / n)
+      }
+    }
+  }
+
+  case class AudioRow(doc_id: String, media_ref: String, bytes: Array[Byte],
+                      sample_rate: Int, channels: Int, n_frames: Long)
+
+  /** Audio table: one clip per document (`corpus://audio/<doc>-0.wav`),
+    * binary WAV payload + decoded header metadata. Narrow map — scales
+    * with partitions, same shape as `mediaTable`. */
+  def audioTable(docs: Dataset[Doc]): Dataset[AudioRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      val ref = s"corpus://audio/${d.doc_id}-0.wav"
+      val bytes = WavCodec.fetchBytes(ref)
+      val (sr, ch, nf) = WavCodec.decode(bytes)
+      AudioRow(d.doc_id, ref, bytes, sr, ch, nf)
+    }
+  }
+
+  /** Windowed audio features per clip: one row per window with real
+    * RMS/zero-crossing values from the decoded PCM (mapPartitions batch
+    * shape, like `withFeatures`). */
+  def audioFeatures(audio: Dataset[AudioRow], windows: Int = 4): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      it.flatMap { a =>
+        WavCodec.features(a.bytes, windows).zipWithIndex.map { case ((rms, zcr), w) =>
+          (a.doc_id, a.media_ref, w, a.sample_rate, a.n_frames,
+            math.rint(rms * 1e6) / 1e6, math.rint(zcr * 1e6) / 1e6)
+        }
+      }
+    }.toDF("doc_id", "media_ref", "window_idx", "sample_rate", "n_frames",
+      "rms", "zero_cross_rate")
   }
 
   case class MediaRow(doc_id: String, media_ref: String, bytes: Array[Byte],
@@ -180,16 +362,29 @@ object Media {
     }.toDF("doc_id", "media_ref", "features")
   }
 
-  /** Frame sampling for video-like payloads: one row per sampled frame. */
+  /** Frame sampling for video-like payloads: up to k frames evenly spaced
+    * across the container's REAL frame sequence, each decoded through the
+    * codec — one row per sampled frame carrying the actual frame content
+    * (bytes length + md5 of the re-encoded frame), so the driver-visible
+    * rows derive from decoded pixels, not synthetic offsets. Still images
+    * yield their single frame. Narrow flatMap, per-partition decode. */
   def frameSample(media: Dataset[MediaRow], k: Int = 4,
                   codec: Codec = FakeCodec): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      codec.frameOffsets(m.bytes, k).zipWithIndex.map { case (off, i) =>
-        (m.doc_id, m.media_ref, i, off)
+      val n = math.max(1, codec.frameCount(m.bytes))
+      val take = math.min(k, n)
+      (0 until take).map { i =>
+        val src = (i.toLong * n / take).toInt
+        val frame = codec.frameAt(m.bytes, src)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(frame).map("%02x".format(_)).mkString
+        (m.doc_id, m.media_ref, i, src, n, frame.length, digest)
       }
-    }.toDF("doc_id", "media_ref", "frame_idx", "frame_offset_ms")
+    }.toDF("doc_id", "media_ref", "frame_idx", "src_frame", "n_frames",
+      "frame_bytes", "frame_md5")
   }
 
   /** Resize every media payload to (targetW, targetH): decode, bilinear

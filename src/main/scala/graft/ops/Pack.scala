@@ -44,13 +44,23 @@ object Pack {
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(tokCol).cast("long").as("ntok"))
-    val bounds = base.agg(min("id"), max("id"), min("ntok")).collect()(0)
-    val maxId = bounds.getLong(1)
-    require(bounds.getLong(0) >= 0,
-      s"packOffsets: ids must be non-negative (min = ${bounds.getLong(0)}) — " +
+    val bounds = base.agg(count("*"), min("id"), max("id"), min("ntok")).collect()(0)
+    // empty input: min/max are NULL — return an empty typed frame instead
+    // of an opaque NPE from getLong
+    if (bounds.getLong(0) == 0L)
+      return spark.emptyDataset[(Long, Long, Long, Long, Long)]
+        .toDF(idCol, "n_tokens", "offset", "first_pack", "last_pack")
+    val maxId = bounds.getLong(2)
+    require(bounds.getLong(1) >= 0,
+      s"packOffsets: ids must be non-negative (min = ${bounds.getLong(1)}) — " +
         "the arithmetic bucket assignment id*P/(maxId+1) assumes a dense non-negative key")
-    require(bounds.getLong(2) >= 0,
-      s"packOffsets: token counts must be non-negative (min = ${bounds.getLong(2)})")
+    require(bounds.getLong(3) >= 0,
+      s"packOffsets: token counts must be non-negative (min = ${bounds.getLong(3)})")
+    // id*partitions runs in Long column math under ANSI mode — guard the
+    // product so sparse huge ids fail with the fix, not an overflow error
+    require(maxId <= Long.MaxValue / partitions,
+      s"packOffsets: maxId=$maxId * partitions=$partitions would overflow " +
+        "64-bit bucket arithmetic — densify ids (e.g. zipWithIndex) first")
     val withPid = base.withColumn("pid",
       (col("id") * partitions / (maxId + 1)).cast("int"))
     // pass 1: per-bucket totals -> exclusive prefix per bucket (driver,

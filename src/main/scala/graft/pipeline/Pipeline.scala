@@ -170,12 +170,17 @@ object Pipeline {
   }
 
   /** Lineage table (SNK7 / north rule) as a PROJECTION of extraction
-    * output — per (doc, stage) record with partition id and op hash. */
-  def lineage(extracted: Dataset[ExtractedDoc], snapshotId: String): Dataset[LineageRec] = {
+    * output — per (doc, stage) record with partition id and op hash.
+    * `batchTs` is the batch's processing timestamp, SUPPLIED by the caller
+    * (the reference's ProcessingOperation records one,
+    * system_contract_organizer.py:53-62) — explicit so replays and tests
+    * stay deterministic: the same batchTs reproduces the same ledger. */
+  def lineage(extracted: Dataset[ExtractedDoc], snapshotId: String,
+              batchTs: Long = 0L): Dataset[LineageRec] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     extracted.map(e => LineageRec(e.contract.doc_id, e.partition_id,
-      "extract", e.status, e.op_hash, snapshotId, 0L))
+      "extract", e.status, e.op_hash, snapshotId, batchTs))
   }
 
   /** Run + persist: contracts parquet, lineage parquet, manifest JSON —
@@ -211,8 +216,25 @@ object Pipeline {
       }
     }
 
+  /** Snapshot seq assignment is read-manifests-then-write with no lock:
+    * an outDir assumes ONE writer at a time (batch OR streaming). Two
+    * concurrent writers can both claim the same seq and corrupt
+    * asOf/changes ordering — this guard re-lists after the manifest write
+    * and fails loudly on a duplicate instead of leaving the corruption
+    * silent. */
+  private[pipeline] def assertUniqueSeq(outDir: String, snapshotId: String,
+                                        seq: Long): Unit = {
+    val dupes = graft.io.Snapshots.list(outDir)
+      .filter(s => s.seq == seq && s.snapshotId != snapshotId)
+    require(dupes.isEmpty,
+      s"snapshot seq collision in $outDir: seq=$seq claimed by both " +
+        s"'$snapshotId' and '${dupes.map(_.snapshotId).mkString(", ")}' — " +
+        "an outDir supports a single writer at a time; serialize writers " +
+        "or use separate outDirs")
+  }
+
   def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
-          snapshotId: String): (Long, Long) = {
+          snapshotId: String, batchTs: Long = 0L): (Long, Long) = {
     import spark.implicits._
     assertSnapshotLayout(outDir)
     val m = newMetrics(spark)
@@ -234,20 +256,35 @@ object Pipeline {
       val written = spark.read.parquet(s"$outDir/contracts")
         .filter(col("snapshot_id") === snapshotId).drop("snapshot_id")
         .as[ExtractedDoc]
-      lineage(written, snapshotId)
+      lineage(written, snapshotId, batchTs)
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshot_id").parquet(s"$outDir/lineage")
-    } finally {
+      // manifest counts come from the WRITTEN output, not the
+      // accumulators: accumulator updates inside transformations are
+      // at-least-once under task retries/speculation and can overcount
+      // (the same failure mode DropStats.cappedFilter avoids for drop
+      // counts). The accumulators stay for LIVE observability only; the
+      // durable record is this exactly-once aggregate over the snapshot
+      // partition (status + n_spans — a column-pruned scan).
+      val counts = written.toDF().agg(
+        coalesce(sum(when(col("status") === "ok", 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("status") === "error", 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("status") === "ok", col("n_spans").cast("long"))
+          .otherwise(0L)), lit(0L))).head()
+      val (docsOk, docsErr, spansSeen) =
+        (counts.getLong(0), counts.getLong(1), counts.getLong(2))
       // drain the listener bus so the snapshot sees every finished task
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000)
+      val manifest =
+        s"""{"snapshot_id":"$snapshotId","docs_ok":$docsOk,"docs_err":$docsErr,"spans_seen":$spansSeen,"seq":$seq,"batch_ts":$batchTs,"execution":${listener.snapshotJson}}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/_manifest_$snapshotId.json"), manifest)
+      assertUniqueSeq(outDir, snapshotId, seq)
+      (docsOk, docsErr)
+    } finally {
       spark.sparkContext.removeSparkListener(listener)
     }
-    val manifest =
-      s"""{"snapshot_id":"$snapshotId","docs_ok":${m.docsOk.value},"docs_err":${m.docsErr.value},"spans_seen":${m.spansSeen.value},"seq":$seq,"execution":${listener.snapshotJson}}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/_manifest_$snapshotId.json"), manifest)
-    (m.docsOk.value, m.docsErr.value)
   }
 
   /** Resume (S3/S4): anti-join pending docs against the lineage ledger —

@@ -54,6 +54,10 @@ object StreamingPipeline {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/_manifest_$id.json"), manifest)
+      // single-writer-per-outDir contract: detect a concurrent batch
+      // writer claiming the same seq (read-then-write has no lock) and
+      // fail loudly instead of corrupting asOf ordering
+      Pipeline.assertUniqueSeq(outDir, id, seq)
     } finally persisted.unpersist(blocking = false)
   }
 

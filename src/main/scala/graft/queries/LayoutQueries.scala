@@ -95,6 +95,152 @@ object LayoutQueries {
   private def sql(s: String): String =
     s.stripMargin.replace("\n", " ").replaceAll("\\s+", " ").trim
 
+  /** Per-line OCR text for the x23 end-to-end fixture, keyed off line_id —
+    * SHARED between the Spark-side line builder (SparkEntry x23) and the
+    * DuckDB oracle below so the two sides can never diverge. */
+  val LineTextCase: String =
+    """CASE CAST(line_id % 7 AS INT)
+      |  WHEN 1 THEN 'Master Service Agreement'
+      |  WHEN 2 THEN 'Contract Number: MSA-2024-' || lpad(CAST(doc % 9999 AS STRING), 4, '0')
+      |  WHEN 3 THEN 'Client: Acme Corp'
+      |  WHEN 4 THEN 'Vendor: Beta Ltd'
+      |  WHEN 5 THEN 'Effective Date: 01/03/2024 Expiration Date: 01/03/2026'
+      |  ELSE 'Total Value: 1500,00' END""".stripMargin.replace("\n", " ")
+
+  /** DuckDB oracle for x23_layout_extract — the l0* layout CTEs composed
+    * with the JSON/block-path extraction fold (Extract.parseBlocks) in one
+    * value-exact SQL twin:
+    *
+    *  - blocks + kinds re-derive `Layout.spansOf`'s classification
+    *    (figure first, then table, then heading-at-page-top, else
+    *    paragraph); figure blocks become media spans and drop out of the
+    *    metadata fold exactly as parseBlocks filters them;
+    *  - block text is the reading-order '\n'-join of line texts
+    *    (`spansOf.joined`);
+    *  - each metadata field replays BlockMeta's first-hit-wins fold:
+    *    value from the MINIMUM-block_id paragraph whose extraction regex
+    *    matches (the mayHave* prefilters never change the outcome — they
+    *    only gate regex cost); party regexes use the consuming rewrite of
+    *    the Java lookahead (group-1-identical for first matches, the p06
+    *    precedent); the party fold REPLAYS the reference's dict-update
+    *    overwrite quirk: updates stop at the first block where BOTH
+    *    parties are defined (lock L = max(first client hit, first vendor
+    *    hit)), and each party takes its LAST capture at or before L —
+    *    multi-line blocks make captures differ across blocks, so
+    *    first-match is genuinely wrong here (caught by the sf0.01 sweep);
+    *  - sections replay `sectionsFromBlocks`: a heading counts when >= 1
+    *    paragraph block sits between it and the next heading; the count is
+    *    DISTINCT lowered heading text (Python dict keys);
+    *  - the block path never extracts total_value, no text contains a
+    *    currency token / email / CNPJ / clause header, and the type
+    *    keywords resolve to MSA (or the MSA default) for every doc — so
+    *    those columns are the same constants parseBlocks produces;
+    *  - confidence is the P23 formula over the derived flags, rounded 4
+    *    like flatContracts (score grid m/30 never ties at the 4th digit).
+    */
+  val X23OracleDuck: String = sql(s"""WITH $Lines, $Cols, $Blocks, $TableRows,
+    |txt AS (
+    |  SELECT doc, line_id, x0, y0, x1, y1, block_id, $LineTextCase AS text
+    |  FROM blocks),
+    |page AS (SELECT doc, min(y0) AS top_y FROM lines GROUP BY doc),
+    |blk AS (
+    |  SELECT t.doc, t.block_id, CAST(count(*) AS INT) AS n_lines,
+    |         max(t.y1) - min(t.y0) AS height, min(t.y0) AS by0,
+    |         CAST(sum(CASE WHEN tr.y0 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS ntl,
+    |         string_agg(t.text, chr(10) ORDER BY t.y0, t.x0, t.line_id) AS btext
+    |  FROM txt t LEFT JOIN trows tr ON t.doc = tr.doc AND t.y0 = tr.y0
+    |  GROUP BY t.doc, t.block_id),
+    |kinds AS (
+    |  SELECT b.doc, b.block_id, b.btext,
+    |         CASE WHEN b.n_lines = 1 AND b.height >= 35 THEN 'figure'
+    |              WHEN b.ntl >= 2 THEN 'table'
+    |              WHEN b.by0 = p.top_y THEN 'heading'
+    |              ELSE 'paragraph' END AS kind
+    |  FROM blk b JOIN page p ON b.doc = p.doc),
+    |docs AS (SELECT DISTINCT doc FROM lines),
+    |ttl AS (SELECT doc, arg_min(btext, block_id) AS title
+    |        FROM kinds WHERE kind = 'heading' GROUP BY doc),
+    |num AS (SELECT doc, arg_min(regexp_extract(btext,
+    |          '(?i)(?:contract\\s+number|número\\s+do\\s+contrato|ref|reference)[\\s:]*([A-Z0-9\\-_/]+)', 1), block_id) AS num
+    |        FROM kinds WHERE kind = 'paragraph' AND regexp_matches(btext,
+    |          '(?i)(?:contract\\s+number|número\\s+do\\s+contrato|ref|reference)[\\s:]*([A-Z0-9\\-_/]+)')
+    |        GROUP BY doc),
+    |dts AS (SELECT doc, arg_min(btext, block_id) AS dtext
+    |        FROM kinds WHERE kind = 'paragraph'
+    |          AND regexp_matches(btext, '\\d{1,2}/\\d{1,2}/\\d{4}')
+    |        GROUP BY doc),
+    |cmatch AS (SELECT doc, block_id, trim(regexp_extract(btext,
+    |          '(?i)(?:cliente|client|contratante|buyer)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?:\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$$)', 1)) AS cap
+    |        FROM kinds WHERE kind = 'paragraph' AND regexp_matches(btext,
+    |          '(?i)(?:cliente|client|contratante|buyer)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?:\\s+(?:vendor|fornecedor|contratado|seller|supplier|prestador|provider|contractor)|$$)')),
+    |vmatch AS (SELECT doc, block_id, trim(regexp_extract(btext,
+    |          '(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?:\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$$)', 1)) AS cap
+    |        FROM kinds WHERE kind = 'paragraph' AND regexp_matches(btext,
+    |          '(?i)(?:fornecedor|vendor|contratado|seller|supplier)[\\s:]*([A-Z][A-Za-z\\s&\\.]+?)(?:\\s+(?:cliente|client|contratante|buyer|empresa|company|corporation)|$$)')),
+    |locks AS (SELECT d.doc,
+    |          (SELECT min(block_id) FROM cmatch c WHERE c.doc = d.doc) AS cmin,
+    |          (SELECT min(block_id) FROM vmatch v WHERE v.doc = d.doc) AS vmin
+    |          FROM docs d),
+    |cli AS (SELECT c.doc, arg_max(c.cap, c.block_id) AS client
+    |        FROM cmatch c JOIN locks l ON c.doc = l.doc
+    |        WHERE l.vmin IS NULL OR c.block_id <= greatest(l.cmin, l.vmin)
+    |        GROUP BY c.doc),
+    |ven AS (SELECT v.doc, arg_max(v.cap, v.block_id) AS vendor
+    |        FROM vmatch v JOIN locks l ON v.doc = l.doc
+    |        WHERE l.cmin IS NULL OR v.block_id <= greatest(l.cmin, l.vmin)
+    |        GROUP BY v.doc),
+    |tbl AS (SELECT doc, CAST(count(*) AS INT) AS table_count
+    |        FROM kinds WHERE kind = 'table' GROUP BY doc),
+    |hp AS (SELECT doc, block_id, kind, btext FROM kinds
+    |       WHERE kind = 'heading' OR kind = 'paragraph'),
+    |hs AS (SELECT doc, block_id, lower(btext) AS hkey,
+    |              lead(block_id) OVER (PARTITION BY doc ORDER BY block_id) AS nxt
+    |       FROM hp WHERE kind = 'heading'),
+    |secs AS (SELECT h.doc, CAST(count(DISTINCT h.hkey) AS INT) AS n_sections
+    |         FROM hs h
+    |         WHERE EXISTS (SELECT 1 FROM hp p
+    |                       WHERE p.doc = h.doc AND p.kind = 'paragraph'
+    |                         AND p.block_id > h.block_id
+    |                         AND (h.nxt IS NULL OR p.block_id < h.nxt))
+    |         GROUP BY h.doc)
+    |SELECT 'doc-' || CAST(d.doc AS STRING) AS doc_id,
+    |       ttl.title AS title,
+    |       coalesce(num.num, 'N/A') AS contract_number,
+    |       'USD' AS currency,
+    |       CAST(NULL AS DOUBLE) AS total_value,
+    |       CASE WHEN dts.dtext IS NOT NULL THEN CAST(CAST(strptime(
+    |         regexp_extract_all(dts.dtext, '\\d{1,2}/\\d{1,2}/\\d{4}')[1],
+    |         '%d/%m/%Y') AS DATE) AS STRING) END AS effective_date,
+    |       CASE WHEN dts.dtext IS NOT NULL
+    |             AND len(regexp_extract_all(dts.dtext, '\\d{1,2}/\\d{1,2}/\\d{4}')) >= 2
+    |            THEN CAST(CAST(strptime(
+    |         regexp_extract_all(dts.dtext, '\\d{1,2}/\\d{1,2}/\\d{4}')[2],
+    |         '%d/%m/%Y') AS DATE) AS STRING) END AS expiration_date,
+    |       coalesce(cli.client, 'N/A') AS client_name,
+    |       coalesce(ven.vendor, 'N/A') AS vendor_name,
+    |       'MSA' AS contract_type,
+    |       '' AS emails,
+    |       '' AS cnpj_cpf,
+    |       coalesce(tbl.table_count, 0) AS table_count,
+    |       '' AS key_clauses,
+    |       coalesce(secs.n_sections, 0) AS n_sections,
+    |       round(((CASE WHEN ttl.title IS NOT NULL AND ttl.title <> '' THEN 1e0 ELSE 0e0 END)
+    |            + (CASE WHEN num.num IS NOT NULL THEN 1e0 ELSE 0e0 END)
+    |            + (CASE WHEN cli.client IS NOT NULL AND ven.vendor IS NOT NULL THEN 1e0 ELSE 0e0 END)
+    |            + (CASE WHEN dts.dtext IS NOT NULL THEN 1e0 ELSE 0e0 END)
+    |            + (CASE WHEN coalesce(secs.n_sections, 0) > 0
+    |                    THEN least(coalesce(secs.n_sections, 0) * 1e0 / 5, 1e0)
+    |                    ELSE 0e0 END)) / 6e0, 4) AS confidence
+    |FROM docs d
+    |LEFT JOIN ttl ON d.doc = ttl.doc
+    |LEFT JOIN num ON d.doc = num.doc
+    |LEFT JOIN dts ON d.doc = dts.doc
+    |LEFT JOIN cli ON d.doc = cli.doc
+    |LEFT JOIN ven ON d.doc = ven.doc
+    |LEFT JOIN tbl ON d.doc = tbl.doc
+    |LEFT JOIN secs ON d.doc = secs.doc
+    |ORDER BY doc_id""")
+
   /** DuckDB oracle for x17_layout_typed: the typed layoutBlocks output
     * re-derived as window SQL (l02 extents joined with l04 kinds), so the
     * DISTRIBUTED typed operator is hash-compared against DuckDB directly —

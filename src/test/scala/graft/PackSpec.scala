@@ -36,6 +36,22 @@ class PackSpec extends AnyFunSuite {
     assert(typed.nonEmpty)
   }
 
+  test("empty input yields an empty typed frame; absurd ids fail loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int)].toDF("doc_id", "ntok")
+    val out = Pack.packOffsets(empty, "doc_id", "ntok", seqLen = 512)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "offset", "first_pack", "last_pack"))
+    assert(out.count() === 0)
+    // sparse huge ids would overflow id*partitions — clear require, not an
+    // ANSI arithmetic error deep in the job
+    val sparse = Seq((Long.MaxValue - 5L, 10)).toDF("doc_id", "ntok")
+    val e = intercept[IllegalArgumentException] {
+      Pack.packOffsets(sparse, "doc_id", "ntok", seqLen = 512, partitions = 64)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("invariant to input partitioning and bucket count") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, (i % 37).toInt)).toDF("doc_id", "ntok")

@@ -196,6 +196,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flat parquet"), e.getMessage)
   }
 
+  test("lineage carries the caller-supplied batchTs (deterministic replay)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val subset = docs.orderBy("doc_id").limit(5).as[Doc]
+    Pipeline.run(spark, subset, out, "snap-ts", batchTs = 1723872000123L)
+    val ts = spark.read.parquet(s"$out/lineage")
+      .select("ts").distinct().collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(1723872000123L), ts.toString)
+    // same batchTs on replay -> byte-identical ledger semantics
+    Pipeline.run(spark, subset, out, "snap-ts", batchTs = 1723872000123L)
+    val ts2 = spark.read.parquet(s"$out/lineage")
+      .select("ts").distinct().collect().map(_.getLong(0)).toSeq
+    assert(ts2 == Seq(1723872000123L))
+    // the manifest records it too
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_manifest_snap-ts.json"))
+    assert(manifest.contains("\"batch_ts\":1723872000123"), manifest)
+  }
+
+  test("concurrent-writer seq collision is detected loudly, not silently corrupted") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-collide").toString
+    val subset = docs.orderBy("doc_id").limit(3).as[Doc]
+    Pipeline.run(spark, subset, out, "snap-a") // takes seq 0
+    // a concurrent writer (no lock exists — single-writer contract) claimed
+    // the same seq under a different id between our read and write
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_manifest_thief.json"),
+      """{"snapshot_id":"thief","docs_ok":1,"docs_err":0,"spans_seen":1,"seq":0}""")
+    // replaying snap-a keeps its seq slot 0 -> now duplicated; the write
+    // must fail loudly instead of leaving asOf ordering corrupted
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, subset, out, "snap-a")
+    }
+    assert(e.getMessage.contains("seq collision"), e.getMessage)
+  }
+
   test("retry queue filter (S1)") {
     import spark.implicits._
     val state = Seq(

@@ -174,6 +174,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket caps: hash-agg + anti-join — NO Window/Sort in candidate generation") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the r3 cap (`count(*) OVER (PARTITION BY key)`) forced a full
+    // shuffle+sort of the bucketed corpus per table; the hash-agg/anti-join
+    // cap must keep every candidate generator Window- and Sort-agg-free
+    val gens = Seq(
+      "minhash" -> ops.Dedup.minhashCandidates(docs, "doc_id", "text"),
+      "simhash" -> ops.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3),
+      "neardup" -> ops.Ann.neardupPairs(emb, "vec_id", "embedding", 0.4,
+        dim = 64, nBits = 8, nTables = 4))
+    gens.foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$n: Window in candidate generation\n" + p.take(3000))
+      assert(!p.contains("SortAggregate"), s"$n: sort-agg cap\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), n)
+    }
+    // knnJoin keeps exactly ONE Window — the per-query top-k AFTER scoring;
+    // candidate generation itself must contribute none
+    val knn = ops.Ann.knnJoin(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 3, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(knn).size == 1, knn.take(3000))
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
