@@ -41,12 +41,40 @@ object DropStats {
   def capByKey(df: DataFrame, keys: Seq[String], maxBucket: Int,
                acc: Option[LongAccumulator]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val overCap = df.groupBy(keys.map(col): _*)
-      .agg(count("*").as("bucket_n"))
+    // The upstream subtree (signature/bucket computation — regex
+    // shingles, minhashes, hyperplane dots) is the expensive part, and
+    // this operator references it twice (over-cap aggregate + the kept
+    // rows); the caller's self-join references the result twice more.
+    // Spark only dedups common subtrees at EXCHANGE boundaries
+    // (ReusedExchange / AQE stage reuse), and only when the subtrees are
+    // canonically identical — so the shape below is engineered to give
+    // every consumer the SAME exchange:
+    //  - an explicit repartition on the bucket key puts one shuffle
+    //    directly above the signature computation;
+    //  - the cap is a LEFT join + IS NULL filter, not a left_anti:
+    //    PushDownLeftSemiAntiJoin pushes an anti-join below the
+    //    repartition, which re-splits the subtree (measured 0.78 s ->
+    //    1.32 s on the minhash bench from re-evaluated signatures);
+    //  - the over-cap aggregate carries a `_reuse_pin` xxhash64 over ALL
+    //    input columns so column pruning cannot specialize its branch's
+    //    exchange child away from the probe branch's;
+    //  - the over-cap key list is broadcast: it holds at most one key
+    //    per maxBucket over-cap rows (degenerate buckets are rare by
+    //    nature), and a non-broadcast plan would sort-merge — the exact
+    //    sort this operator exists to avoid.
+    // Net plan: ONE signature pass, ONE exchange (reused by the over-cap
+    // agg, the kept-rows probe, and both self-join sides), hash
+    // aggregates only, no Sort anywhere (plan-guarded in PlanShapeSpec).
+    val keyed = df.repartition(keys.map(col): _*)
+    val overCap = keyed.groupBy(keys.map(col): _*)
+      .agg(count("*").as("bucket_n"),
+        bit_xor(xxhash64(df.columns.map(col): _*)).as("_reuse_pin"))
       .filter(col("bucket_n") > maxBucket)
     acc.foreach { a =>
       a.add(overCap.agg(coalesce(sum("bucket_n"), lit(0L))).head().getLong(0))
     }
-    df.join(overCap.select(keys.map(col): _*), keys, "left_anti")
+    val marked = overCap.select(keys.map(col) :+ lit(true).as("_over"): _*)
+    keyed.join(broadcast(marked), keys, "left")
+      .filter(col("_over").isNull).drop("_over")
   }
 }
