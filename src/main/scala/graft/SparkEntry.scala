@@ -416,5 +416,6 @@ object SparkEntry {
       ("x17_layout_typed" -> LayoutQueries.X17OracleDuck) +
       ("x18_decontaminate_grams" -> TrainingQueries.X18OracleDuck) +
       ("x22_seq_pack" -> shared("t07_seq_pack")._2) +
-      ("x23_layout_extract" -> LayoutQueries.X23OracleDuck)
+      ("x23_layout_extract" -> LayoutQueries.X23OracleDuck) +
+      ("x04_chunks" -> ExtractQueries.X04OracleDuck)
 }

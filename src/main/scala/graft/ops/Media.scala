@@ -30,6 +30,16 @@ object Media {
     /** Decode frame `i` and re-encode it standalone (PNG for the real
       * codec) — actual per-frame pixels, the video-modality decode seam. */
     def frameAt(bytes: Array[Byte], i: Int): Array[Byte]
+    /** Batch form: (frameCount, selected frames) in ONE container parse.
+      * `pick(n)` chooses the frame indexes given the container's count.
+      * Default composes frameCount + per-frame frameAt; codecs with a
+      * container parse cost (ImageIO readers) override with a single
+      * reader pass — at pipeline scale this is k decodes per clip, not
+      * k+1 full container parses. */
+    def framesDecoded(bytes: Array[Byte], pick: Int => Seq[Int]): (Int, Seq[(Int, Array[Byte])]) = {
+      val n = frameCount(bytes)
+      (n, pick(n).map(i => i -> frameAt(bytes, i)))
+    }
   }
 
   /** STUB: deterministic fake codec. Byte payloads and "decoded" metadata
@@ -181,18 +191,29 @@ object Media {
     def frameCount(bytes: Array[Byte]): Int =
       withReader(bytes)(_.getNumImages(true))
 
+    private def readFrameRgb(r: javax.imageio.ImageReader, i: Int): Array[Byte] = {
+      val img = r.read(i)
+      // normalize to RGB so the digest reflects pixels, not the palette
+      val rgb = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      encodePng(rgb)
+    }
+
     /** REAL frame decode: image `i` of the container, re-encoded as a
       * standalone PNG (actual pixels — the codec test pins per-frame
       * digests differ across frames of one GIF). */
     def frameAt(bytes: Array[Byte], i: Int): Array[Byte] =
+      withReader(bytes)(readFrameRgb(_, i))
+
+    /** Batch override: one ImageInputStream/reader for the count AND every
+      * selected frame — the per-clip cost a scale pipeline pays. */
+    override def framesDecoded(bytes: Array[Byte],
+                               pick: Int => Seq[Int]): (Int, Seq[(Int, Array[Byte])]) =
       withReader(bytes) { r =>
-        val img = r.read(i)
-        // normalize to RGB so the digest reflects pixels, not the palette
-        val rgb = new java.awt.image.BufferedImage(
-          img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = rgb.createGraphics()
-        try g.drawImage(img, 0, 0, null) finally g.dispose()
-        encodePng(rgb)
+        val n = r.getNumImages(true)
+        (n, pick(n).map(i => i -> readFrameRgb(r, i)))
       }
   }
 
@@ -374,11 +395,14 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      val n = math.max(1, codec.frameCount(m.bytes))
-      val take = math.min(k, n)
-      (0 until take).map { i =>
-        val src = (i.toLong * n / take).toInt
-        val frame = codec.frameAt(m.bytes, src)
+      // one container parse per clip: count + all selected frames
+      val (n0, frames) = codec.framesDecoded(m.bytes, { nRaw =>
+        val n = math.max(1, nRaw)
+        val take = math.min(k, n)
+        (0 until take).map(i => (i.toLong * n / take).toInt)
+      })
+      val n = math.max(1, n0)
+      frames.zipWithIndex.map { case ((src, frame), i) =>
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(frame).map("%02x".format(_)).mkString
         (m.doc_id, m.media_ref, i, src, n, frame.length, digest)

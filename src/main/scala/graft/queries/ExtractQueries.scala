@@ -365,4 +365,36 @@ object ExtractQueries {
       s"SELECT doc_id, CASE WHEN NOT ($pred) THEN 'translate' ELSE 'rename' END AS op_type ${src()} ORDER BY doc_id"
     }
   )
+
+  /** DuckDB oracle for x04_chunks — the SENTENCE-BOUNDARY chunker
+    * (Rules.chunkText, maxLength 128) re-derived as a recursive CTE, so
+    * the Scala while-loop (data-dependent chunk boundaries: prefer the
+    * last '.' strictly inside the window) is hash-compared value-exact.
+    * Per step at 0-based offset s: end0 = s+128; if end0 < len, the
+    * qualifying window is 0-based indices (s, end0-1] = substr(text,
+    * s+2, 127); a last '.' at 1-based window position p means the break
+    * lands at e = s + 129 - strpos(reverse(win), '.'); else e = end0;
+    * when end0 >= len, e = len. Parity notes: the corpus text is pure
+    * ASCII (checked), so Java UTF-16 indexing == DuckDB character
+    * indexing; `lastIndexOf('.', end-1) > start` excludes a period AT
+    * s, which the (s, end0-1] window encodes exactly. */
+  val X04OracleDuck: String =
+    """WITH RECURSIVE ch AS (
+      |  SELECT doc_id, coalesce(text, '') AS text, CAST(0 AS BIGINT) AS start,
+      |         CASE WHEN 128 >= length(text) THEN CAST(length(text) AS BIGINT)
+      |              WHEN strpos(reverse(substr(text, 2, 127)), '.') > 0
+      |              THEN CAST(129 - strpos(reverse(substr(text, 2, 127)), '.') AS BIGINT)
+      |              ELSE CAST(128 AS BIGINT) END AS e
+      |  FROM documents WHERE length(coalesce(text, '')) > 0
+      |  UNION ALL
+      |  SELECT doc_id, text, e AS start,
+      |         CASE WHEN e + 128 >= length(text) THEN CAST(length(text) AS BIGINT)
+      |              WHEN strpos(reverse(substr(text, CAST(e + 2 AS INT), 127)), '.') > 0
+      |              THEN e + 129 - strpos(reverse(substr(text, CAST(e + 2 AS INT), 127)), '.')
+      |              ELSE e + 128 END AS e
+      |  FROM ch WHERE e < length(text))
+      |SELECT doc_id, CAST(start AS INT) AS start,
+      |       substr(text, CAST(start + 1 AS INT), CAST(e - start AS INT)) AS chunk
+      |FROM ch ORDER BY doc_id, start"""
+      .stripMargin.replace("\n", " ").replaceAll("\\s+", " ").trim
 }

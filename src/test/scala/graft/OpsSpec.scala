@@ -398,6 +398,26 @@ class OpsSpec extends AnyFunSuite {
       "amplification must not lose pairs a single table finds")
   }
 
+  test("capByKey == per-key-count reference on randomized skewed data, drops exact") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    // random (id, key) rows with one hot key (~20% of rows) + a long tail
+    val rows = (1L to 3000L).map { i =>
+      val k = (math.abs(mix(i)) % 40).toInt
+      (i, if (k < 8) 0 else k)
+    }
+    val df = rows.toDF("id", "k")
+    val bucketN = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    for (cap <- Seq(1, 10, 50, 500, 5000)) {
+      val want = rows.filter { case (_, k) => bucketN(k) <= cap }.toSet
+      val acc = spark.sparkContext.longAccumulator(s"cap_$cap")
+      val got = ops.DropStats.capByKey(df, Seq("k"), cap, Some(acc))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("k"))).toSet
+      assert(got == want, s"cap=$cap: ${got.size} vs ${want.size}")
+      assert(acc.value == rows.size - want.size, s"cap=$cap drops=${acc.value}")
+    }
+  }
+
   test("bucket-cap drops are COUNTED, never silent (viral cluster)") {
     import spark.implicits._
     // 40 identical docs: one viral bucket per band, over the cap of 10 —
