@@ -88,6 +88,17 @@ object Demo {
     // eval-set hygiene: 13-gram decontamination over a corpus/bench split
     val nContaminated = SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir).count()
     println(s"[demo] decontamination: $nContaminated corpus docs share a 13-gram with the bench split")
+    // graded overlap: docs a tau=0.05 ratio threshold would drop
+    val overTau = SparkEntry.queries("x27_contamination_score")(spark, sfDir)
+      .filter($"overlap_ratio" > 0.05).count()
+    println(s"[demo] contamination score: $overTau docs over ratio 0.05")
+    // multimodal: real container decodes (PNG stills, multi-frame GIFs, WAV audio)
+    val frames = SparkEntry.queries("x12_media_frames")(spark, sfDir)
+    val multi = frames.filter($"n_frames" > 1).select("media_ref").distinct().count()
+    val still = frames.filter($"n_frames" === 1).select("media_ref").distinct().count()
+    println(s"[demo] media frames: $still stills, $multi multi-frame clips decoded")
+    val audioRows = SparkEntry.queries("x26_audio_features")(spark, sfDir).count()
+    println(s"[demo] audio: $audioRows windowed RMS/ZCR feature rows from decoded WAV clips")
     // the composed keep/drop endpoint + its per-stage funnel
     val funnel = SparkEntry.queries("a06_filter_funnel")(spark, sfDir)
       .collect().map(r => s"${r.getString(0)}=${r.getInt(1)}").mkString(" ")

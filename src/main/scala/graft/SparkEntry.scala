@@ -338,6 +338,17 @@ object SparkEntry {
           docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // Graded decontamination — the threshold-filtering form: every corpus
+    // doc scored (n_grams, n_hits, overlap_ratio). Value-exact oracle
+    // (TrainingQueries.X27OracleDuck, gram-string re-derivation).
+    "x27_contamination_score" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      ops.Decontaminate.overlapScore(
+          docs.filter("doc_id % 10 <> 7"), "doc_id", "ctext",
+          docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
+        .orderBy("doc_id")
+    }),
     // The full north-rule flow in one operator: positioned lines -> layout
     // -> interleaved spans -> contract extraction. Value-exact oracle
     // (LayoutQueries.X23OracleDuck): the l0* layout CTEs composed with the
@@ -417,5 +428,6 @@ object SparkEntry {
       ("x18_decontaminate_grams" -> TrainingQueries.X18OracleDuck) +
       ("x22_seq_pack" -> shared("t07_seq_pack")._2) +
       ("x23_layout_extract" -> LayoutQueries.X23OracleDuck) +
-      ("x04_chunks" -> ExtractQueries.X04OracleDuck)
+      ("x04_chunks" -> ExtractQueries.X04OracleDuck) +
+      ("x27_contamination_score" -> TrainingQueries.X27OracleDuck)
 }

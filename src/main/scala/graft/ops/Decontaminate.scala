@@ -48,6 +48,12 @@ object Decontaminate {
       .select(col("id"), explode(gramsFromWords(col("w"), n)).as("gh"))
       .distinct()
 
+  /** Distinct bench-side gram hashes. */
+  private def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    bench.select(wordsOf(col(benchTextCol)).as("w"))
+      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .distinct()
+
   /** Corpus documents contaminated by the bench set: one row per flagged
     * doc with the number of distinct overlapping n-grams.
     * Output: (idCol, n_hits). */
@@ -56,13 +62,39 @@ object Decontaminate {
                    n: Int = 13): DataFrame = {
     require(n >= 2, s"n=$n: a 1-gram overlap check flags any shared word — " +
       "use a real n-gram width (GPT-3 used 13)")
-    val benchGrams = bench
-      .select(wordsOf(col(benchTextCol)).as("w"))
-      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
-      .distinct()
     gramTable(corpus, idCol, textCol, n)
-      .join(benchGrams, "gh")
+      .join(benchGramSet(bench, benchTextCol, n), "gh")
       .groupBy(col("id").as(idCol))
       .agg(count("*").cast("int").as("n_hits"))
+  }
+
+  /** Graded form of `contaminated`: EVERY corpus doc scored with its
+    * distinct-gram count, the distinct overlapping-gram count, and the
+    * overlap ratio — the threshold-based filtering shape (drop when
+    * ratio > tau) real pipelines prefer over the boolean rule, and the
+    * observability row for tuning tau. Docs with fewer than n words have
+    * zero grams and score 0. Same scale shape as `contaminated` (both
+    * sides reduce to gram hashes before the join; bench side
+    * broadcast-able) plus one hash agg and a final id-keyed left join to
+    * reattach gram-free docs. Output: (idCol, n_grams, n_hits,
+    * overlap_ratio). */
+  def overlapScore(corpus: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   n: Int = 13): DataFrame = {
+    require(n >= 2, s"n=$n: a 1-gram overlap check flags any shared word — " +
+      "use a real n-gram width (GPT-3 used 13)")
+    val scored = gramTable(corpus, idCol, textCol, n)
+      .join(benchGramSet(bench, benchTextCol, n).withColumn("_hit", lit(1)),
+        Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count("*").cast("int").as("n_grams"),
+        coalesce(sum("_hit"), lit(0L)).cast("int").as("n_hits"))
+    corpus.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"))
+      .withColumn("overlap_ratio",
+        round(col("n_hits") * lit(1e0) / greatest(col("n_grams"), lit(1)), 6))
   }
 }

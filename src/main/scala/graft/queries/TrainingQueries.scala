@@ -112,6 +112,37 @@ object TrainingQueries {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for x27_contamination_score — the graded overlap form
+    * (Decontaminate.overlapScore): every corpus doc with its distinct
+    * 13-gram count, the distinct shared-gram count vs the bench split,
+    * and the rounded overlap ratio. Same gram-string re-derivation as
+    * X18OracleDuck (the Spark side counts distinct xxhash64 gram hashes;
+    * the oracle counts distinct gram STRINGS — equal absent collisions,
+    * the x18 precedent), extended with the total-gram denominator and a
+    * doc-universe left join so gram-free docs score 0. */
+  val X27OracleDuck: String = {
+    val ctext = Dialect.Ctext
+    s"""WITH base AS (SELECT doc_id, $ctext AS ctext FROM documents),
+       |w AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w FROM base),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+       |    THEN list_transform(range(1, len(w) - 11), i -> array_to_string(w[i:i+12], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM w) t),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+       |counts AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams
+       |  FROM g WHERE doc_id % 10 <> 7 GROUP BY doc_id),
+       |hits AS (SELECT g.doc_id, CAST(count(*) AS INT) AS n_hits
+       |  FROM g JOIN bg ON g.gram = bg.gram WHERE g.doc_id % 10 <> 7
+       |  GROUP BY g.doc_id)
+       |SELECT b.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  round(coalesce(h.n_hits, 0) * 1e0 / greatest(coalesce(c.n_grams, 0), 1), 6) AS overlap_ratio
+       |FROM (SELECT DISTINCT doc_id FROM base WHERE doc_id % 10 <> 7) b
+       |LEFT JOIN counts c ON b.doc_id = c.doc_id
+       |LEFT JOIN hits h ON b.doc_id = h.doc_id
+       |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key

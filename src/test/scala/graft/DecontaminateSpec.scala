@@ -66,6 +66,30 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted corpus should produce contamination hits")
   }
 
+  test("overlapScore == brute-force ratios; gram-free and clean docs score 0") {
+    import spark.implicits._
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa"
+    val contaminated = "intro words then " +
+      "bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november" +
+      " trailing words"
+    val clean = "completely different content with no overlap at all " +
+      "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val tiny = "too short for grams"
+    val corpus = Seq((1L, contaminated), (2L, clean), (3L, tiny)).toDF("doc_id", "text")
+    val bench = Seq(benchText).toDF("btext")
+    val out = Decontaminate.overlapScore(corpus, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    // brute expectations
+    val g1 = grams(contaminated, 13); val g2 = grams(clean, 13)
+    val bg = grams(benchText, 13)
+    assert(out(1L) == ((g1.size, g1.count(bg), math.rint(g1.count(bg).toDouble / g1.size * 1e6) / 1e6)))
+    assert(out(2L) == ((g2.size, 0, 0.0)))
+    assert(out(3L) == ((0, 0, 0.0))) // gram-free doc still present, score 0
+    assert(out(1L)._3 > 0.0)
+  }
+
   test("plan: gram-hash equi-join, no cartesian") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h i j k l m n o")).toDF("doc_id", "text")

@@ -201,6 +201,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(knn).size == 1, knn.take(3000))
   }
 
+  test("x23 layout->extract composition: bounded exchanges, no cartesian") {
+    val p = plan("x23_layout_extract")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // one hash exchange for the per-doc line_id window + one for the
+    // layout groupByKey; the final ORDER BY range partitioning is benign
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"$hashEx hash exchanges\n" + p.take(3000))
+  }
+
+  test("x27 contamination score: gram-hash equi-joins + hash aggs, no cartesian/sort-agg") {
+    val p = plan("x27_contamination_score")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+  }
+
   test("p01 shared-SQL extraction: scan reads only the needed columns") {
     val p = plan("p01_title")
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
