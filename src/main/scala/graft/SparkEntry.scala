@@ -213,6 +213,24 @@ object SparkEntry {
         nlist = 8, sampleN = 400)
       ops.Ann.Pq.topKIvf(ivf, cb, q, 10, nProbe = 4, refine = 10)
     }),
+    // The served PQ shape: codes WRITTEN once (the m-byte resident index;
+    // vectors are not in the index), REOPENED, ADC over the codes table
+    // with no encode pass, shortlist ids joined back to the source for
+    // the exact re-rank — value-equal to x19 (spec-pinned).
+    "x28_ann_pq_served" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val cb = ops.Ann.Pq.train(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, sampleN = 400)
+      val idxPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_x28_pq_index").getAbsolutePath
+      ops.Ann.Pq.writeIndex(ops.Ann.Pq.encode(corpus, "embedding", cb), "vec_id",
+        cb, idxPath)
+      val (codes, cbOpened) = ops.Ann.Pq.openIndex(s, idxPath)
+      ops.Ann.Pq.topKServed(codes, "vec_id", cbOpened,
+        corpus, "vec_id", "embedding", q, 10, refine = 10)
+    }),
     // D12 scale path — LSH-bucketed k-NN similarity join (OR-amplified
     // bucket equi-join + per-query window top-k; planted recall in
     // OpsSpec; d12 is the value-exact brute twin)

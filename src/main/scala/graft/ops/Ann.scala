@@ -315,15 +315,11 @@ object Ann {
       embeddings.withColumn("code", codeOf(col(vecCol)))
     }
 
-    /** ADC top-k with exact cosine re-rank on the k*refine shortlist. */
-    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
-             query: Array[Float], k: Int, cb: Codebooks,
-             refine: Int = 10): DataFrame = {
-      require(refine >= 1, s"refine=$refine must be >= 1")
-      val spark = embeddings.sparkSession
-      import spark.implicits._
+    /** The driver-side m x ksub ADC lookup table for a query, as a
+      * codegen-friendly UDF over the code column: a row's approximate
+      * distance is m table lookups summed — no float vector touched. */
+    private def adcUdf(cb: Codebooks, query: Array[Float]) = {
       val qd = query.map(_.toDouble)
-      // m x ksub partial-distance lookup table, driver-side
       val lut: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
         Array.tabulate(cb.ksub) { i =>
           val c = cb.centroids(j)(i)
@@ -334,21 +330,57 @@ object Ann {
           d
         }
       }
-      val adcOf = udf { (code: Seq[Int]) =>
+      udf { (code: Seq[Int]) =>
         var d = 0.0; var j = 0
         while (j < cb.m && j < code.length) { d += lut(j)(code(j)); j += 1 }
         d
       }
-      val shortlist = encode(embeddings, vecCol, cb)
-        .withColumn("adc_dist", adcOf(col("code")))
-        .orderBy(col("adc_dist"), col(idCol))
-        .limit(k * refine)
+    }
+
+    /** Exact-cosine re-rank of a shortlist against the query (broadcast
+      * 1-row query, TakeOrderedAndProject top-k). */
+    private def rerank(withVec: DataFrame, idCol: String, vecCol: String,
+                       query: Array[Float], k: Int): DataFrame = {
+      val spark = withVec.sparkSession
+      import spark.implicits._
       val q = Seq(Tuple1(query.toSeq)).toDF("qe")
-      shortlist.crossJoin(broadcast(q))
+      withVec.crossJoin(broadcast(q))
         .withColumn("cos_sim", expr(cosExpr(vecCol, "qe")))
         .select(col(idCol), col("cos_sim"))
         .orderBy(desc("cos_sim"), col(idCol))
         .limit(k)
+    }
+
+    /** ADC top-k with exact cosine re-rank on the k*refine shortlist. */
+    def topK(embeddings: DataFrame, idCol: String, vecCol: String,
+             query: Array[Float], k: Int, cb: Codebooks,
+             refine: Int = 10): DataFrame = {
+      require(refine >= 1, s"refine=$refine must be >= 1")
+      val shortlist = encode(embeddings, vecCol, cb)
+        .withColumn("adc_dist", adcUdf(cb, query)(col("code")))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k * refine)
+      rerank(shortlist, idCol, vecCol, query, k)
+    }
+
+    /** SERVED top-k: ADC runs straight over a PERSISTED codes table
+      * (`writeIndex`/`openIndex`) — the m-byte-per-row resident index a
+      * 10^12-row deployment scans; no encode pass, no vector column in
+      * the scan. Only the k*refine shortlist ids join back to the source
+      * table to fetch vectors for the exact re-rank (an id equi-join on
+      * k*refine rows, broadcast-able). */
+    def topKServed(codes: DataFrame, idCol: String, cb: Codebooks,
+                   source: DataFrame, srcIdCol: String, vecCol: String,
+                   query: Array[Float], k: Int, refine: Int = 10): DataFrame = {
+      require(refine >= 1, s"refine=$refine must be >= 1")
+      val shortlist = codes
+        .withColumn("adc_dist", adcUdf(cb, query)(col("code")))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k * refine)
+        .select(col(idCol))
+      val withVec = shortlist.join(
+        source.select(col(srcIdCol).as(idCol), col(vecCol)), Seq(idCol))
+      rerank(withVec, idCol, vecCol, query, k)
     }
 
     /** Persist the PQ index at its at-scale layout: the encoded corpus

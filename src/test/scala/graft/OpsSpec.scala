@@ -301,6 +301,14 @@ class OpsSpec extends AnyFunSuite {
     assert(served == mem, s"served=$served mem=$mem")
   }
 
+  test("x28 served PQ: ADC over the persisted codes table equals the in-memory x19 path") {
+    val mem = SparkEntry.queries("x19_ann_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = SparkEntry.queries("x28_ann_pq_served")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == mem, s"served=$served mem=$mem")
+  }
+
   test("quantizer training sample: seeded hash filter covers id-correlated clusters") {
     import spark.implicits._
     import graft.gen.Corpus.mix
