@@ -223,8 +223,8 @@ object SparkEntry {
       val corpus = emb.filter(col("vec_id") =!= 0)
       val cb = ops.Ann.Pq.train(corpus, "vec_id", "embedding", dim = 64,
         m = 8, ksub = 16, sampleN = 400)
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_x28_pq_index").getAbsolutePath
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x28_pq_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       ops.Ann.Pq.writeIndex(ops.Ann.Pq.encode(corpus, "embedding", cb), "vec_id",
         cb, idxPath)
       val (codes, cbOpened) = ops.Ann.Pq.openIndex(s, idxPath)
@@ -252,8 +252,10 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = queryVector(emb, dir)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val idxPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_x25_ivf_index").getAbsolutePath
+      // per-sf path: concurrent runs over different sf dirs must not
+      // overwrite each other's index mid-read
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x25_ivf_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       val built = ops.Ann.Ivf.buildIndex(corpus, "vec_id", "embedding",
         nlist = 8, sampleN = 400)
       ops.Ann.Ivf.writeIndex(built, idxPath)
