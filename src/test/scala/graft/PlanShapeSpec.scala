@@ -164,8 +164,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("x19/x20 PQ: ADC shortlist is a distributed top-k, no cartesian") {
-    for (q <- Seq("x19_ann_pq", "x20_ann_ivfpq")) {
+  test("x19/x20/x28 PQ: ADC shortlist is a distributed top-k, no cartesian") {
+    // x28 is the served form: same ADC TakeOrderedAndProject shape, but the
+    // scan reads the persisted codes table instead of encoding per query
+    for (q <- Seq("x19_ann_pq", "x20_ann_ivfpq", "x28_ann_pq_served")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(2000))
       // the k*refine shortlist must be TakeOrderedAndProject (per-partition
