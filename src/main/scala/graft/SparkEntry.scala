@@ -369,6 +369,14 @@ object SparkEntry {
           docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // Intra-corpus duplicated-gram scoring (ExactSubstr-style boilerplate
+    // signal) — value-exact oracle TrainingQueries.X29OracleDuck
+    "x29_selfdup_score" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      ops.Decontaminate.selfDupScore(docs, "doc_id", "ctext", n = 13)
+        .orderBy("doc_id")
+    }),
     // The full north-rule flow in one operator: positioned lines -> layout
     // -> interleaved spans -> contract extraction. Value-exact oracle
     // (LayoutQueries.X23OracleDuck): the l0* layout CTEs composed with the
@@ -449,5 +457,6 @@ object SparkEntry {
       ("x22_seq_pack" -> shared("t07_seq_pack")._2) +
       ("x23_layout_extract" -> LayoutQueries.X23OracleDuck) +
       ("x04_chunks" -> ExtractQueries.X04OracleDuck) +
-      ("x27_contamination_score" -> TrainingQueries.X27OracleDuck)
+      ("x27_contamination_score" -> TrainingQueries.X27OracleDuck) +
+      ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck)
 }

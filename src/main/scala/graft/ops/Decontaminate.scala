@@ -68,6 +68,42 @@ object Decontaminate {
       .agg(count("*").cast("int").as("n_hits"))
   }
 
+  /** Cross-document duplicated-gram score — the INTRA-corpus twin of
+    * `overlapScore` (ExactSubstr-style boilerplate detection at gram
+    * granularity, after Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): for every doc, the count and fraction of
+    * its distinct n-grams that also appear in at least one OTHER
+    * document. High ratios flag licence headers, templated boilerplate,
+    * and near-copies that survived doc-level dedup.
+    *
+    * Scale shape: the (id, gram-hash) table's closing distinct() is an
+    * exchange both consumers (the ≥2-doc gram aggregate and the probe)
+    * reuse, so the expensive gram derivation runs once; everything
+    * downstream is gh-keyed hash aggs + an equi-join, then the id-keyed
+    * reattach. Output: (idCol, n_grams, n_dup, dup_ratio). */
+  def selfDupScore(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 13): DataFrame = {
+    require(n >= 2, s"n=$n: a 1-gram rule flags any shared word — " +
+      "use a real n-gram width")
+    val grams = gramTable(docs, idCol, textCol, n)
+    // a gram's doc count needs distinct docs — gramTable is already
+    // distinct on (id, gh), so count(*) per gh IS the doc count
+    val shared = grams.groupBy("gh").agg(count("*").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gh"), lit(1).as("_dup"))
+    val scored = grams.join(shared, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count("*").cast("int").as("n_grams"),
+        coalesce(sum("_dup"), lit(0L)).cast("int").as("n_dup"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup") * lit(1e0) / greatest(col("n_grams"), lit(1)), 6))
+  }
+
   /** Graded form of `contaminated`: EVERY corpus doc scored with its
     * distinct-gram count, the distinct overlapping-gram count, and the
     * overlap ratio — the threshold-based filtering shape (drop when

@@ -143,6 +143,31 @@ object TrainingQueries {
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for x29_selfdup_score — intra-corpus duplicated-gram
+    * scoring (Decontaminate.selfDupScore): per doc, distinct 13-grams,
+    * how many appear in >= 2 docs, and the rounded fraction. Same
+    * gram-string re-derivation as X18/X27. */
+  val X29OracleDuck: String = {
+    val ctext = Dialect.Ctext
+    s"""WITH base AS (SELECT doc_id, $ctext AS ctext FROM documents),
+       |w AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w FROM base),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 13
+       |    THEN list_transform(range(1, len(w) - 11), i -> array_to_string(w[i:i+12], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM w) t),
+       |sh AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |counts AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams FROM g GROUP BY doc_id),
+       |dups AS (SELECT g.doc_id, CAST(count(*) AS INT) AS n_dup
+       |  FROM g JOIN sh ON g.gram = sh.gram GROUP BY g.doc_id)
+       |SELECT b.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+       |  coalesce(d.n_dup, 0) AS n_dup,
+       |  round(coalesce(d.n_dup, 0) * 1e0 / greatest(coalesce(c.n_grams, 0), 1), 6) AS dup_ratio
+       |FROM (SELECT DISTINCT doc_id FROM base) b
+       |LEFT JOIN counts c ON b.doc_id = c.doc_id
+       |LEFT JOIN dups d ON b.doc_id = d.doc_id
+       |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key

@@ -18,6 +18,12 @@ class DecontaminateSpec extends AnyFunSuite {
     if (w.size < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  /** HALF_UP like Spark's round() and DuckDB's (ties away from zero) —
+    * math.rint is banker's rounding and diverges on exact decimal ties
+    * (e.g. 113/128 = 0.8828125). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("planted 13-gram contamination is flagged, clean docs are not") {
     import spark.implicits._
     val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
@@ -84,10 +90,35 @@ class DecontaminateSpec extends AnyFunSuite {
     // brute expectations
     val g1 = grams(contaminated, 13); val g2 = grams(clean, 13)
     val bg = grams(benchText, 13)
-    assert(out(1L) == ((g1.size, g1.count(bg), math.rint(g1.count(bg).toDouble / g1.size * 1e6) / 1e6)))
+    assert(out(1L) == ((g1.size, g1.count(bg), round6(g1.count(bg).toDouble / g1.size))))
     assert(out(2L) == ((g2.size, 0, 0.0)))
     assert(out(3L) == ((0, 0, 0.0))) // gram-free doc still present, score 0
     assert(out(1L)._3 > 0.0)
+  }
+
+  test("selfDupScore == brute-force cross-document gram duplication on the real corpus") {
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    val docs = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val perDoc = docs.map { case (id, t) => id -> grams(t, 13) }
+    val gramDocs = perDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size)
+    val expected = perDoc.map { case (id, gs) =>
+      val dup = gs.count(g => gramDocs(g) >= 2)
+      id -> ((gs.size, dup, round6(dup.toDouble / math.max(gs.size, 1))))
+    }.toMap
+    val docsDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+    val got = Decontaminate.selfDupScore(docsDf, "doc_id", "ctext")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    // the synthesized corpus shares boilerplate grams across docs
+    assert(got.values.exists(_._2 > 0), "expected cross-document duplicated grams")
+    // and not everything is duplicated
+    assert(got.values.exists(v => v._2 < v._1))
   }
 
   test("plan: gram-hash equi-join, no cartesian") {
