@@ -231,6 +231,25 @@ object SparkEntry {
       ops.Ann.Pq.topKServed(codes, "vec_id", cbOpened,
         corpus, "vec_id", "embedding", q, 10, refine = 10)
     }),
+    // The full billion-scale serving composition: codes partitioned by
+    // IVF cell on disk, probes prune directories AND read m-byte codes
+    // only; value-equal to the in-memory x20 (spec-pinned, including a
+    // PartitionFilters assertion on the pruned scan).
+    "x30_ann_ivfpq_served" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val cb = ops.Ann.Pq.train(corpus, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, sampleN = 400)
+      val ivf = ops.Ann.Ivf.buildIndex(corpus, "vec_id", "embedding",
+        nlist = 8, sampleN = 400)
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x30_ivfpq_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Ann.Pq.writeIvfPqIndex(ivf, cb, idxPath)
+      val served = ops.Ann.Pq.openIvfPqIndex(s, idxPath, "vec_id")
+      ops.Ann.Pq.topKIvfServed(served, corpus, "vec_id", "embedding",
+        q, 10, nProbe = 4, refine = 10)
+    }),
     // D12 scale path — LSH-bucketed k-NN similarity join (OR-amplified
     // bucket equi-join + per-query window top-k; planted recall in
     // OpsSpec; d12 is the value-exact brute twin)

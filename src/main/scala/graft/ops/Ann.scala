@@ -423,6 +423,61 @@ object Ann {
       topK(index.assigned.filter(col("cell").isin(cells: _*)),
         index.idCol, index.vecCol, query, k, cb, refine)
     }
+
+    /** A reopened on-disk IVF-PQ index: IVF centroids (driver-resident),
+      * the cell-partitioned codes table, and the PQ codebooks. */
+    case class IvfPqIndex(centroids: Array[Array[Double]], codes: DataFrame,
+                          cb: Codebooks, idCol: String)
+
+    /** Persist the IVF-PQ composition at its SERVING layout: m-byte codes
+      * written PARTITIONED BY IVF cell (a probe prunes directories AND
+      * reads codes only — never vectors), IVF centroids + PQ codebooks
+      * beside them as small parquets. The full billion-scale form:
+      * scanned bytes per query ~= (nProbe/nlist) * m bytes/row. */
+    def writeIvfPqIndex(index: Ivf.Index, cb: Codebooks, path: String): Unit = {
+      val spark = index.assigned.sparkSession
+      import spark.implicits._
+      encode(index.assigned, index.vecCol, cb)
+        .select(col(index.idCol), col("cell"), col("code"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+      index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      cb.centroids.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+
+    /** Reopen a written IVF-PQ index. */
+    def openIvfPqIndex(spark: SparkSession, path: String,
+                       idCol: String): IvfPqIndex = {
+      val centroids = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+      val cbDf = spark.read.parquet(s"$path/codebooks")
+        .orderBy("subspace", "centroid_id").collect()
+      val m = cbDf.map(_.getInt(0)).max + 1
+      val ksub = cbDf.map(_.getInt(1)).max + 1
+      val books = Array.ofDim[Array[Double]](m, ksub)
+      cbDf.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val dsub = books(0)(0).length
+      IvfPqIndex(centroids, spark.read.parquet(s"$path/cells"),
+        Codebooks(m, dsub, ksub, books), idCol)
+    }
+
+    /** Served IVF-PQ top-k: driver-side probe-cell choice → the cell
+      * filter hits the directory layout (PartitionFilters) → ADC over
+      * the surviving m-byte codes → exact re-rank on the shortlist via
+      * an id join back to the source table. Value-equal to the
+      * in-memory `topKIvf` (same deterministic training/codes). */
+    def topKIvfServed(index: IvfPqIndex,
+                      source: DataFrame, srcIdCol: String, vecCol: String,
+                      query: Array[Float], k: Int,
+                      nProbe: Int = 2, refine: Int = 10): DataFrame = {
+      val cells = Ivf.probeCellsOf(index.centroids, query, nProbe)
+      topKServed(index.codes.filter(col("cell").isin(cells: _*)),
+        index.idCol, index.cb, source, srcIdCol, vecCol, query, k, refine)
+    }
   }
 
   /** Shared OR-table bucket signature UDF: per row, one sign-bit bucket

@@ -309,6 +309,18 @@ class OpsSpec extends AnyFunSuite {
     assert(served == mem, s"served=$served mem=$mem")
   }
 
+  test("x30 served IVF-PQ: pruned cell scan over persisted codes equals the in-memory x20 path") {
+    val mem = SparkEntry.queries("x20_ann_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedDf = SparkEntry.queries("x30_ann_ivfpq_served")(spark, sf)
+    val served = servedDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == mem, s"served=$served mem=$mem")
+    // the cell filter must reach the DIRECTORY layout of the codes table
+    val p = servedDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("quantizer training sample: seeded hash filter covers id-correlated clusters") {
     import spark.implicits._
     import graft.gen.Corpus.mix
