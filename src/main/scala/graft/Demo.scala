@@ -9,24 +9,12 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Demo <sfDir> <outDir>
   */
 object Demo {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft-demo"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // start from a clean output dir: the demo re-runs into the same path,
-    // and a stale pre-partitioned layout must not mix with the snapshot
-    // partitions (dynamic overwrite only replaces the partitions it writes).
-    // Deletion guard: only wipe a dir this demo created (it carries a
-    // _manifest_*.json marker) or an empty one — a mistyped path argument
-    // must not walk-and-delete an arbitrary tree.
+
+  /** Deletion guard: wipe `outDir` ONLY when it is absent, empty, or was
+    * written by a pipeline run (it carries a `_manifest_*.json` marker) —
+    * a mistyped path argument must not walk-and-delete an arbitrary
+    * tree. Refusal is a loud require, not a silent skip. */
+  private[graft] def cleanOwnedOutDir(outDir: String): Unit = {
     val outPath = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(outPath)) {
       val entries = {
@@ -42,6 +30,24 @@ object Demo {
       java.nio.file.Files.walk(outPath).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-demo"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // start from a clean output dir: the demo re-runs into the same path,
+    // and a stale pre-partitioned layout must not mix with the snapshot
+    // partitions (dynamic overwrite only replaces the partitions it writes)
+    cleanOwnedOutDir(outDir)
     val docs = gen.Corpus.corpus(spark, sfDir)
     val (ok, err) = pipeline.Pipeline.run(spark, docs, outDir, "demo-snap")
     println(s"[demo] docs ok=$ok err=$err out=$outDir")

@@ -233,6 +233,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("seq collision"), e.getMessage)
   }
 
+  test("demo outDir guard: refuses foreign trees, cleans owned or empty dirs") {
+    import java.nio.file.{Files, Paths}
+    // foreign non-empty dir -> loud refusal, nothing deleted
+    val foreign = Files.createTempDirectory("graft-guard-foreign")
+    Files.writeString(foreign.resolve("precious.txt"), "do not delete")
+    val e = intercept[IllegalArgumentException] {
+      Demo.cleanOwnedOutDir(foreign.toString)
+    }
+    assert(e.getMessage.contains("refusing to delete"))
+    assert(Files.exists(foreign.resolve("precious.txt")))
+    // demo-owned dir (manifest marker) -> wiped, including other content
+    val owned = Files.createTempDirectory("graft-guard-owned")
+    Files.writeString(owned.resolve("_manifest_demo.json"), "{}")
+    Files.createDirectories(owned.resolve("contracts"))
+    Files.writeString(owned.resolve("contracts").resolve("part-0.parquet"), "x")
+    Demo.cleanOwnedOutDir(owned.toString)
+    assert(!Files.exists(owned))
+    // empty dir -> wiped; absent dir -> no-op
+    val empty = Files.createTempDirectory("graft-guard-empty")
+    Demo.cleanOwnedOutDir(empty.toString)
+    assert(!Files.exists(empty))
+    Demo.cleanOwnedOutDir(Paths.get(empty.toString, "never-existed").toString)
+  }
+
   test("retry queue filter (S1)") {
     import spark.implicits._
     val state = Seq(
