@@ -11,7 +11,13 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- Seq("p01_title", "j04_region_rollup", "a01_pricing", "j05_pattern_match", "d03_minhash_sig",
                   "l01_reading_order", "l04_block_kinds", "x17_layout_typed",
-                  "x18_decontaminate_grams", "x19_ann_pq", "x21_knn_join_lsh", "x22_seq_pack")) {
+                  "x18_decontaminate_grams", "x19_ann_pq", "x21_knn_join_lsh", "x22_seq_pack",
+                  // round-4 additions: sort-free cap pairs, the composed
+                  // layout extraction, graded contamination, and the
+                  // served indexes (x25/x30 print the pruned cell scans)
+                  "x05_minhash_pairs", "x23_layout_extract",
+                  "x27_contamination_score", "x25_ann_served",
+                  "x30_ann_ivfpq_served")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
