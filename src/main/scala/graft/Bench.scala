@@ -53,8 +53,20 @@ object Bench {
       val n = SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }.minBy(_._1)
-    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers,"decontaminated_docs":$nContaminated}""")
+    // multimodal tier (round-4): real container decode throughput — GIF/PNG
+    // frame extraction and WAV feature windows (same min-of-3 estimator)
+    val (tFrames, nFrames) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("x12_media_frames")(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.minBy(_._1)
+    val (tAudio, nAudio) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("x26_audio_features")(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.minBy(_._1)
+    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"},"media_frames":${f"$tFrames%.3f"},"audio_features":${f"$tAudio%.3f"}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers,"decontaminated_docs":$nContaminated,"media_frame_rows":$nFrames,"audio_feature_rows":$nAudio}""")
     spark.stop()
   }
 
