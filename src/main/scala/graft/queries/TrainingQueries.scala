@@ -447,6 +447,31 @@ object TrainingQueries {
       s"SELECT doc_id, md5($norm) AS fingerprint FROM documents ORDER BY doc_id"
     },
 
+    // T9 — per-document character entropy over the alphanumeric alphabet
+    // (Shannon H in nats): the classic gibberish / encoding-junk signal —
+    // natural text sits near ~2.9-3.1 nats, base64/hex blobs and
+    // repeated-char junk fall far outside. Char counts use the
+    // length-minus-replace trick (36 narrow scalar exprs, fully
+    // codegen'd, identical in both dialects — no per-char explode, so
+    // the scan stays one narrow pass at any corpus size). Both engines
+    // evaluate the same double math; round(4) absorbs ulp-level ln()
+    // differences.
+    "t09_char_entropy" -> q { _ =>
+      val alphabet = ('a' to 'z') ++ ('0' to '9')
+      val counts = alphabet.map(c =>
+        s"length(lt) - length(replace(lt, '$c', '')) AS n_$c").mkString(", ")
+      val total = alphabet.map(c => s"n_$c").mkString(" + ")
+      val terms = alphabet.map(c =>
+        s"CASE WHEN n_$c > 0 THEN (n_$c * 1e0 / n_total) * ln(n_$c * 1e0 / n_total) ELSE 0e0 END")
+        .mkString(" + ")
+      s"""WITH lowered AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |cnt AS (SELECT doc_id, $counts FROM lowered),
+         |tot AS (SELECT *, $total AS n_total FROM cnt)
+         |SELECT doc_id, CAST(n_total AS INT) AS n_alnum,
+         |  CASE WHEN n_total > 0 THEN round(-($terms), 4) ELSE 0e0 END AS entropy
+         |FROM tot ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
     // D6 — embedding-cosine near-dup pairs, brute-force all-pairs: the
     // PARITY BASELINE by design (the scale path is the LSH-bucketed
     // x13_embed_neardup_lsh, which must recall-match this on planted
