@@ -320,6 +320,32 @@ object RelationalQueries {
          |FROM e ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
     },
 
+    // W10 — gap-based SESSIONIZATION, the canonical event-stream window
+    // op: a new session opens when a user's inter-event gap exceeds 30
+    // minutes; session id = running sum of new-session flags; then
+    // per-session stats. Exact epoch-micro arithmetic (the w08/w09
+    // idiom), explicit ROWS frame for the running sum, window sums CAST
+    // (DuckDB sum -> HUGEINT). Scale shape: one hash exchange on
+    // user_id feeds lag + the running sum + the final group-by — no
+    // extra shuffle, and per-user partitions are bounded by that user's
+    // event count.
+    "w10_sessions" -> q { d =>
+      val us =
+        if (d.isSpark) "unix_micros(CAST(ts AS TIMESTAMP))"
+        else "epoch_us(ts)"
+      s"""WITH e AS (SELECT user_id, event_id, value, $us AS ts_us FROM events),
+         |lagd AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |flagged AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         |sess AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id FROM flagged)
+         |SELECT user_id, session_id, CAST(count(*) AS INT) AS n_events,
+         |  CAST(min(ts_us) AS BIGINT) AS start_us,
+         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+         |  round(sum(value), 4) AS session_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin.replace("\n", " ")
+    },
+
     // S1 — retry-queue batch filter
     "s01_retry_ready" -> q { d =>
       """SELECT event_id AS item_id, attempts FROM (
