@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window matches batch gap-sessionization (w10 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Spark's NATIVE sessionization: session_window(ts, gap) merges
+    // events whose gaps stay under 30 min — the streaming form of
+    // w10_sessions' lag + running-sum construction, with state bounded
+    // by the watermark horizon
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = stream.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count("*").as("n_events"), sum($"value").as("session_value"))
+    // session-window aggregation supports append (emit once the
+    // watermark passes a session's end) or complete — complete keeps the
+    // test synchronous without having to advance the watermark
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_stream").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+      // user 1: events at +0, +10 (same session), +50 (gap 40 min -> new
+      // session); user 2: one event
+      stream.addData((1L, t(0), 1.0), (1L, t(10), 2.0), (1L, t(50), 4.0),
+        (2L, t(5), 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, n_events, session_value FROM sessions_stream
+          |ORDER BY user_id, session_value""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)),
+        rows.mkString(","))
+      // the same boundaries the batch w10 rule derives: gap <= 30 min
+      // chains into one session, the 40-min gap opens a new one
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on content key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
