@@ -125,8 +125,13 @@ object SparkEntry {
       // (nBits, L) to be selective and high-recall at once — mid-similarity
       // mining is the brute path's job (d08, the value-exact baseline).
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // drop accumulator threaded like x05/x13: a bucket-capped corpus at
+      // this call site must not read as "every doc is its own component"
+      // with no coverage-loss signal (VERDICT r4 #1 — the last silent cap)
+      val acc = s.sparkContext.longAccumulator("x16_dropped_rows")
       ops.Ann.resolveNearDups(emb, "vec_id", "embedding", 0.9, dim = 64,
-          nBits = 8, nTables = 4)
+          nBits = 8, nTables = 4, droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value))
         .orderBy("vec_id")
     }),
     "x05_minhash_pairs" -> ((s: SparkSession, dir: String) => {

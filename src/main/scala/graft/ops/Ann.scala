@@ -26,10 +26,19 @@ object Ann {
     * skews the codebooks whenever ids correlate with content — they do in
     * most real ingestion orders). The tiny surviving set is sorted by id
     * so Lloyd iterations fold floats in a stable order (exact
-    * deterministic retrain). */
+    * deterministic retrain).
+    *
+    * `nHint`: the filter modulus `m = n / sampleN` only needs the corpus
+    * size to order of magnitude, so callers that already know (or can
+    * cheaply estimate) the row count pass it here and the extra full
+    * `count()` pass is skipped — at 10^12 rows that pass costs a whole
+    * scan per train call. Default (-1) counts, preserving the
+    * parameter-free behavior; retrains are deterministic per
+    * (corpus, hint) since `m` feeds the seeded filter. */
   private[ops] def hashSample(embeddings: DataFrame, idCol: String,
-                              vecCol: String, sampleN: Int): Array[Array[Double]] = {
-    val n = embeddings.count()
+                              vecCol: String, sampleN: Int,
+                              nHint: Long = -1L): Array[Array[Double]] = {
+    val n = if (nHint >= 0L) nHint else embeddings.count()
     val m = math.max(1L, n / math.max(1, sampleN))
     embeddings
       .filter(pmod(xxhash64(col(idCol), lit("graft-sample")), lit(m)) === 0)
@@ -95,8 +104,9 @@ object Ann {
       * ~`sampleN` vectors (see [[Ann.hashSample]]). Empty cells re-seed
       * from the sample (seeded pick) so nlist cells always come back. */
     def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                       nlist: Int, iters: Int = 10, sampleN: Int = 2048): Array[Array[Double]] = {
-      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN)
+                       nlist: Int, iters: Int = 10, sampleN: Int = 2048,
+                       nHint: Long = -1L): Array[Array[Double]] = {
+      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN, nHint)
       require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
       var centroids = Array.tabulate(nlist) { i =>
         sample(((graft.gen.Corpus.mix(42L + i) % sample.length + sample.length) % sample.length).toInt)
@@ -157,8 +167,10 @@ object Ann {
                      idCol: String, vecCol: String)
 
     def buildIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int = 16, sampleN: Int = 2048): Index = {
-      val centroids = trainCentroids(embeddings, idCol, vecCol, nlist, sampleN = sampleN)
+                   nlist: Int = 16, sampleN: Int = 2048,
+                   nHint: Long = -1L): Index = {
+      val centroids = trainCentroids(embeddings, idCol, vecCol, nlist,
+        sampleN = sampleN, nHint = nHint)
       Index(centroids, assign(embeddings, vecCol, centroids), idCol, vecCol)
     }
 
@@ -254,10 +266,10 @@ object Ann {
       * (see [[Ann.hashSample]]). */
     def train(embeddings: DataFrame, idCol: String, vecCol: String, dim: Int,
               m: Int = 8, ksub: Int = 16, sampleN: Int = 2048,
-              iters: Int = 10): Codebooks = {
+              iters: Int = 10, nHint: Long = -1L): Codebooks = {
       require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
       val dsub = dim / m
-      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN)
+      val sample: Array[Array[Double]] = hashSample(embeddings, idCol, vecCol, sampleN, nHint)
       require(sample.length >= ksub, s"need >= $ksub sample vectors, got ${sample.length}")
       val books = Array.tabulate(m) { j =>
         val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))

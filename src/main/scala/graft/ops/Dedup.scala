@@ -97,18 +97,46 @@ object Dedup {
     *    help, the analyzer still walks the full tree. By default the cut
     *    is `localCheckpoint` (executor-local blocks — fastest, fine for
     *    a single-JVM run); pass `checkpointDir` for the fault-tolerant
-    *    form a real cluster needs: per-round edge sets go to the
-    *    reliable FS via `df.checkpoint()`, so a lost executor replays
-    *    from the checkpoint instead of failing the job;
+    *    form a real cluster needs: per-round edge sets are written to the
+    *    reliable FS as parquet and re-read, so a lost executor replays
+    *    from the written round instead of failing the job. Superseded
+    *    rounds are deleted as the loop advances (no unbounded
+    *    accumulation); the final round's files back the returned frame,
+    *    so the caller deletes the dir after consuming the result;
     *  - convergence is detected by an (edge count, xxhash64 xor) signature
     *    — one cheap aggregate per round. */
   def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
-    val sc = edges0.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val spark = edges0.sparkSession
+    // Reliable cut = per-round parquet under the caller's dir, re-read as
+    // the next round's source. Compared to `df.checkpoint(true)`: no
+    // global `setCheckpointDir` mutation (the caller's SparkContext state
+    // is untouched), and no unbounded accumulation — once round N is
+    // materialized, every earlier round is unreferenced and deleted here
+    // (ContextCleaner only reclaims localCheckpoint blocks; reliable RDD
+    // checkpoint files persist unless cleanCheckpoints is on). The FINAL
+    // round's files back the returned frame: the caller owns the dir and
+    // deletes it after consuming the result.
+    var lastRound = -1
+    def reliableCut(df: DataFrame, dir: String, round: Int): DataFrame = {
+      val path = s"$dir/round_$round"
+      df.write.mode("overwrite").parquet(path)
+      val out = spark.read.parquet(path)
+      if (lastRound >= 0) {
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/round_$lastRound"), true)
+      }
+      lastRound = round
+      out
+    }
+    var cutRound = 0
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val out = reliableCut(df, dir, cutRound); cutRound += 1; out
+      case None => df.localCheckpoint(true)
+    }
     val canonical = edges0
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -149,7 +177,10 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
-      val cutNext = cut(next) // eager: cut lineage, blocks cleaned by ContextCleaner
+      // eager lineage cut: localCheckpoint blocks are reclaimed by
+      // ContextCleaner; the reliable parquet form deletes superseded
+      // rounds itself (see reliableCut above)
+      val cutNext = cut(next)
       val nextSig = signature(cutNext)
       edges = cutNext
       stable = nextSig == sig

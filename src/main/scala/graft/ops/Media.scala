@@ -7,13 +7,17 @@ import graft.model.{Doc, Span}
 /** Multimodal column plumbing: media spans as opaque binary columns with
   * typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested; the actual codec is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries — see the builder brief). The
-  * codec is a SEAM: every stage takes a `Codec` (serializable, constructed
-  * per-partition use) so a real decoder (javacv, TwelveMonkeys ImageIO)
-  * slots in without touching the plan — exercised by the codec-swap test
-  * in OpsSpec. */
+  * The default codecs are REAL, JDK-only container codecs: [[ImageIoCodec]]
+  * decodes genuine PNG stills and multi-frame animated GIFs via
+  * `javax.imageio` (header decode, pixel features, bilinear resize, frame
+  * walk), and [[WavCodec]] decodes genuine RIFF/PCM WAV audio via
+  * `javax.sound.sampled` (windowed RMS / zero-crossing features). Every
+  * driver query (x08/x12/x15/x26) runs these real paths. The codec is
+  * still a SEAM: every stage takes a `Codec` (serializable, constructed
+  * for per-partition use), so a heavier production decoder (javacv,
+  * TwelveMonkeys) slots in without touching the plan. [[FakeCodec]] is
+  * retained ONLY as the plumbing-test seam — the codec-swap test in
+  * OpsSpec proves the stages are codec-agnostic. */
 object Media {
 
   /** The decode seam. Implementations must be Serializable (shipped to

@@ -56,10 +56,12 @@ object Pack {
         "the arithmetic bucket assignment id*P/(maxId+1) assumes a dense non-negative key")
     require(bounds.getLong(3) >= 0,
       s"packOffsets: token counts must be non-negative (min = ${bounds.getLong(3)})")
-    // id*partitions runs in Long column math under ANSI mode — guard the
-    // product so sparse huge ids fail with the fix, not an overflow error
-    require(maxId <= Long.MaxValue / partitions,
-      s"packOffsets: maxId=$maxId * partitions=$partitions would overflow " +
+    // id*partitions and maxId+1 run in Long column math under ANSI mode —
+    // guard both so sparse huge ids fail with the fix, not an overflow
+    // error (the strict < also covers partitions=1, where the division
+    // guard alone admits maxId=Long.MaxValue and maxId+1 wraps negative)
+    require(maxId < Long.MaxValue && maxId <= Long.MaxValue / partitions,
+      s"packOffsets: maxId=$maxId with partitions=$partitions would overflow " +
         "64-bit bucket arithmetic — densify ids (e.g. zipWithIndex) first")
     val withPid = base.withColumn("pid",
       (col("id") * partitions / (maxId + 1)).cast("int"))

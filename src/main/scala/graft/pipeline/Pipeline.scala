@@ -216,12 +216,39 @@ object Pipeline {
       }
     }
 
-  /** Snapshot seq assignment is read-manifests-then-write with no lock:
-    * an outDir assumes ONE writer at a time (batch OR streaming). Two
-    * concurrent writers can both claim the same seq and corrupt
-    * asOf/changes ordering — this guard re-lists after the manifest write
-    * and fails loudly on a duplicate instead of leaving the corruption
-    * silent. */
+  /** Atomically CLAIM a snapshot seq slot before any data is written: the
+    * claim is an exclusive-create marker file `_seq_<N>` whose content is
+    * the claiming snapshot id. `Files.createFile` is atomic on the local
+    * FS (the sandbox's catalog stand-in — a real deployment claims via
+    * the table catalog's conditional commit), so two concurrent writers
+    * racing for the same seq cannot both pass: exactly one creates the
+    * marker, the other fails loudly here before touching the tables.
+    * Re-running the SAME snapshot id re-claims its own slot (marker
+    * content matches) — the supported idempotent-replay pattern. */
+  private[pipeline] def claimSeq(outDir: String, snapshotId: String,
+                                 seq: Long): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    val marker = dir.resolve(s"_seq_$seq")
+    try {
+      java.nio.file.Files.createFile(marker)
+      java.nio.file.Files.writeString(marker, snapshotId)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val owner = try java.nio.file.Files.readString(marker).trim
+        catch { case _: java.io.IOException => "" }
+        require(owner == snapshotId,
+          s"snapshot seq $seq in $outDir is already claimed by " +
+            s"'${if (owner.isEmpty) "another in-flight writer" else owner}' — " +
+            s"cannot claim it for '$snapshotId'; an outDir supports a " +
+            "single writer at a time; serialize writers or use separate outDirs")
+    }
+  }
+
+  /** Post-write consistency check behind [[claimSeq]]: re-list the
+    * manifests and fail loudly if a duplicate seq landed anyway (e.g. a
+    * manifest forged outside the claim protocol, or markers deleted).
+    * Detection-only — the atomic exclusivity lives in the claim. */
   private[pipeline] def assertUniqueSeq(outDir: String, snapshotId: String,
                                         seq: Long): Unit = {
     val dupes = graft.io.Snapshots.list(outDir)
@@ -247,6 +274,7 @@ object Pipeline {
     val prior = graft.io.Snapshots.list(outDir)
     val seq = prior.find(_.snapshotId == snapshotId).map(_.seq)
       .getOrElse(prior.map(_.seq).maxOption.map(_ + 1).getOrElse(0L))
+    claimSeq(outDir, snapshotId, seq)
     try {
       val extracted = extract(docs, Some(m))
       extracted.toDF().withColumn("snapshot_id", lit(snapshotId))

@@ -36,6 +36,10 @@ object StreamingPipeline {
     val prior = graft.io.Snapshots.list(outDir)
     val seq = prior.find(_.snapshotId == id).map(_.seq)
       .getOrElse(prior.map(_.seq).maxOption.map(_ + 1).getOrElse(0L))
+    // atomic exclusive-create claim BEFORE any table write — two racing
+    // writers cannot both pass (the post-write assertUniqueSeq is only a
+    // consistency backstop)
+    Pipeline.claimSeq(outDir, id, seq)
     val persisted = batch.persist()
     try {
       persisted.toDF().withColumn("snapshot_id", lit(id))

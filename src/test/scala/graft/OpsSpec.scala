@@ -343,6 +343,12 @@ class OpsSpec extends AnyFunSuite {
     // deterministic retrain stays exact under the hash sampler
     val again = Ann.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 4, sampleN = 100)
     assert(cents.flatten.toSeq == again.flatten.toSeq)
+    // row-count hint: callers that know the corpus size skip the extra
+    // count() pass; an exact hint reproduces the no-hint sample (same
+    // modulus m -> same seeded filter), so trained centroids are identical
+    val hinted = Ann.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 4,
+      sampleN = 100, nHint = 400L)
+    assert(cents.flatten.toSeq == hinted.flatten.toSeq)
   }
 
   test("connected components: reliable-checkpoint variant is value-identical and writes rounds to the dir") {
@@ -356,14 +362,20 @@ class OpsSpec extends AnyFunSuite {
         checkpointDir = Some(dir.toString))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == expected)
-    // the fault-tolerant form left per-round RDD checkpoint files under
-    // the reliable dir (what a lost executor would replay from)
+    // the fault-tolerant form left the FINAL round's files under the
+    // reliable dir (what a lost executor would replay from), and deleted
+    // every superseded round — checkpoint data must not accumulate
+    // per round across a long-running CC job
     val s = java.nio.file.Files.walk(dir)
-    val files = try {
+    val (files, roundDirs) = try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.count(p => java.nio.file.Files.isRegularFile(p))
+      val ps = s.iterator().asScala.toVector
+      (ps.count(p => java.nio.file.Files.isRegularFile(p)),
+        ps.count(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("round_")))
     } finally s.close()
     assert(files > 0, s"no checkpoint files under $dir")
+    assert(roundDirs == 1, s"superseded rounds not cleaned: $roundDirs dirs remain")
   }
 
   test("embed near-dup: LSH pairs are a subset of brute force; planted clones always recalled") {
@@ -474,6 +486,14 @@ class OpsSpec extends AnyFunSuite {
     ops.Ann.neardupPairs(vecs, "vec_id", "embedding", 0.9, 16,
       nBits = 4, maxBucket = 10, droppedRows = Some(acc3)).count()
     assert(acc3.value == 40, s"neardup dropped rows miscounted: ${acc3.value}")
+    // the embedding RESOLUTION layer (x16's call) threads the counter too:
+    // a viral embedding cluster capped away reads as all-singletons, so
+    // the non-zero drop count is the ONLY signal coverage was lost
+    val accE = spark.sparkContext.longAccumulator("embed_resolve_dropped")
+    val resolvedE = ops.Ann.resolveNearDups(vecs, "vec_id", "embedding", 0.9,
+      dim = 16, nBits = 4, maxBucket = 10, droppedRows = Some(accE))
+    assert(resolvedE.filter("vec_id <> component").count() == 0) // all singletons...
+    assert(accE.value == 40, s"Ann.resolveNearDups drop not reported: ${accE.value}")
     // the driver call-site pattern (x05/x06/x13/x21): the count is final
     // at plan-build time, so a constant dropped_rows column carries the
     // coverage-loss signal in the query output itself

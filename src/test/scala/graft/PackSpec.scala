@@ -50,6 +50,14 @@ class PackSpec extends AnyFunSuite {
       Pack.packOffsets(sparse, "doc_id", "ntok", seqLen = 512, partitions = 64)
     }
     assert(e.getMessage.contains("overflow"))
+    // degenerate partitions=1 edge: maxId=Long.MaxValue passes the
+    // division guard, but maxId+1 would wrap negative — must still fail
+    // with the densify message, not a missing-key error downstream
+    val extreme = Seq((Long.MaxValue, 10)).toDF("doc_id", "ntok")
+    val e1 = intercept[IllegalArgumentException] {
+      Pack.packOffsets(extreme, "doc_id", "ntok", seqLen = 512, partitions = 1)
+    }
+    assert(e1.getMessage.contains("overflow"))
   }
 
   test("invariant to input partitioning and bucket count") {

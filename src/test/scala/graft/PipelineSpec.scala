@@ -233,6 +233,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("seq collision"), e.getMessage)
   }
 
+  test("seq slot is CLAIMED atomically before any write, not just detected after") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-claim").toString
+    val subset = docs.orderBy("doc_id").limit(3).as[Doc]
+    // another in-flight writer holds the exclusive-create marker for seq 0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_seq_0"), "other-writer")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, subset, out, "snap-b")
+    }
+    assert(e.getMessage.contains("already claimed"), e.getMessage)
+    // the claim fired BEFORE the table write: nothing landed on disk
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/contracts")))
+    // the marker's own writer re-claims its slot freely (idempotent replay)
+    Pipeline.run(spark, subset, out, "other-writer")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_manifest_other-writer.json")))
+  }
+
   test("demo outDir guard: refuses foreign trees, cleans owned or empty dirs") {
     import java.nio.file.{Files, Paths}
     // foreign non-empty dir -> loud refusal, nothing deleted
