@@ -224,6 +224,45 @@ object TrainingQueries {
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // D4 — the LSH BANDING tier itself, value-exact: banded candidate
+    // pairs over md5-based minhash signatures (d03 proves the md5
+    // signature form is cross-engine-exact; x05 is the xxhash64 scale
+    // path of this same shape). 4 bands x 2 rows — a band's bucket key
+    // hashes both of its minhashes with the band id baked into the key
+    // string, so the per-band bucket sets need no band column and the
+    // union of band selects replaces a posexplode (both engines run it
+    // verbatim). The capByKey over-cap predicate is exercised FOR REAL:
+    // maxBucket=2 fires on this corpus's 3-doc clone buckets (4 buckets
+    // dropped at sf0.01), so the oracle pins banding + cap + a<b pair
+    // emission, not just banding. n_shared_bands = how many of the 4
+    // bands the pair collided in (the OR-amplification evidence).
+    "d04_banded_pairs" -> q { d =>
+      val w = words("text")
+      val sh =
+        if (d.isSpark) s"transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        else "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+      def mh(b: Int): String = {
+        val hashed = d.lmap("sh", s"x -> ${d.h60(s"'$b|' || x")}")
+        if (d.isSpark) s"array_min($hashed) AS mh$b" else s"list_min($hashed) AS mh$b"
+      }
+      def bandKey(b: Int): String =
+        d.h60(s"'$b|' || CAST(mh${2 * b} AS STRING) || '|' || CAST(mh${2 * b + 1} AS STRING)")
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, ${bandKey(b)} AS h FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, $w AS w FROM documents),
+         |s AS (SELECT doc_id, $sh AS sh FROM w WHERE ${d.size("w")} >= 3),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")} FROM s),
+         |bk AS ($bandSelects),
+         |c AS (SELECT h, count(*) AS n FROM bk GROUP BY h),
+         |kept AS (SELECT bk.doc_id, bk.h FROM bk JOIN c ON bk.h = c.h WHERE c.n <= 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS INT) AS n_shared_bands
+         |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+
     // D9 — benchmark decontamination, small-bench substring form: flag
     // corpus docs containing any planted benchmark snippet (GPT-3
     // appendix-C hygiene; the snippets hit distinct Ctext branches so the
