@@ -37,9 +37,23 @@ object DropStats {
     * broadcast-able, and its shuffle key equals the self-join key the
     * callers apply next, so the exchange is reused. Semantics are
     * row-identical to the window form; drops are counted exactly via one
-    * cheap aggregate over the over-cap keys when `acc` is supplied. */
+    * cheap aggregate over the over-cap keys when `acc` is supplied.
+    *
+    * Broadcast safety: the over-cap key list is data-dependent (up to
+    * n/maxBucket keys — ~10^8 at 10^12 rows with maxBucket=10^4), and a
+    * skewed corpus could push a forced broadcast past what the driver
+    * holds. When `acc` is supplied, the SAME eager aggregate that counts
+    * dropped rows also counts over-cap KEYS, and above `maxBroadcastKeys`
+    * the cap join falls back to a shuffled-hash join (still sort-free:
+    * the probe side is already partitioned on `keys`, only the tiny-ish
+    * key list shuffles, and the hash build avoids SortMergeJoin's sorts).
+    * The uncounted fast path (`acc = None`) adds no extra job and keeps
+    * the forced broadcast — its operating limit is `maxBroadcastKeys`
+    * over-cap keys, i.e. corpora where more than maxBucket*maxBroadcastKeys
+    * rows sit in degenerate buckets need the counting form. */
   def capByKey(df: DataFrame, keys: Seq[String], maxBucket: Int,
-               acc: Option[LongAccumulator]): DataFrame = {
+               acc: Option[LongAccumulator],
+               maxBroadcastKeys: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.functions._
     // The upstream subtree (signature/bucket computation — regex
     // shingles, minhashes, hyperplane dots) is the expensive part, and
@@ -70,11 +84,18 @@ object DropStats {
       .agg(count("*").as("bucket_n"),
         bit_xor(xxhash64(df.columns.map(col): _*)).as("_reuse_pin"))
       .filter(col("bucket_n") > maxBucket)
-    acc.foreach { a =>
-      a.add(overCap.agg(coalesce(sum("bucket_n"), lit(0L))).head().getLong(0))
+    // one eager job serves both the exact drop count and the
+    // broadcast-safety decision; without `acc` no extra job runs and the
+    // broadcast stays forced (documented operating limit above)
+    val oversizeKeyList = acc.exists { a =>
+      val row = overCap
+        .agg(coalesce(sum("bucket_n"), lit(0L)), count("*")).head()
+      a.add(row.getLong(0))
+      row.getLong(1) > maxBroadcastKeys
     }
     val marked = overCap.select(keys.map(col) :+ lit(true).as("_over"): _*)
-    keyed.join(broadcast(marked), keys, "left")
+    val rhs = if (oversizeKeyList) marked.hint("shuffle_hash") else broadcast(marked)
+    keyed.join(rhs, keys, "left")
       .filter(col("_over").isNull).drop("_over")
   }
 }

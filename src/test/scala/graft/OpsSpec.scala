@@ -450,6 +450,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capByKey oversize key-list fallback: same rows, no broadcast, still sort-free") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    // many distinct over-cap keys: every key holds 3 rows, cap 2, so the
+    // over-cap key list is 1/3 of the corpus — the skew shape the forced
+    // broadcast must NOT be allowed to collect onto the driver
+    val rows = (1L to 900L).map(i => (i, math.abs(mix(i / 3)) % 1000000))
+    val df = rows.toDF("id", "k")
+    val acc = spark.sparkContext.longAccumulator("fb_drops")
+    val accB = spark.sparkContext.longAccumulator("fb_drops_bcast")
+    val fb = ops.DropStats.capByKey(df, Seq("k"), 2, Some(acc), maxBroadcastKeys = 10)
+    val bcast = ops.DropStats.capByKey(df, Seq("k"), 2, Some(accB))
+    // value parity with the broadcast path, drops counted identically
+    assert(fb.collect().map(_.getLong(0)).sorted.sameElements(
+      bcast.collect().map(_.getLong(0)).sorted))
+    assert(acc.value == accB.value)
+    // the fallback plan hash-joins without a broadcast of the key list and
+    // stays free of the sorts the cap operator exists to avoid
+    val p = fb.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("bucket-cap drops are COUNTED, never silent (viral cluster)") {
     import spark.implicits._
     // 40 identical docs: one viral bucket per band, over the cap of 10 —
