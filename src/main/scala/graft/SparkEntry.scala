@@ -286,6 +286,24 @@ object SparkEntry {
       val served = ops.Ann.Ivf.openIndex(s, idxPath, "vec_id", "embedding")
       ops.Ann.Ivf.topKIndexed(served, q, 10, nProbe = 2)
     }),
+    // The served BATCH k-NN shape: the corpus side of the similarity join
+    // as a WRITTEN bucket table (partitionBy(tbl, bucket), cap baked in at
+    // build), probed by a broadcast query batch through a partition-pruned
+    // scan — value-equal to the in-memory x21 rebucketing form
+    // (spec-pinned, incl. a pruning assertion on the bucket scan).
+    "x31_knn_join_served" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x31_knn_corpus_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val acc = s.sparkContext.longAccumulator("x31_dropped_rows")
+      ops.Ann.writeKnnCorpus(emb, "vec_id", "embedding", idxPath,
+        dim = 64, nBits = 8, nTables = 4, droppedRows = Some(acc))
+      val served = ops.Ann.openKnnCorpus(s, idxPath)
+      ops.Ann.knnJoinServed(served, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3)
+        .withColumn("dropped_rows", lit(acc.value))
+        .orderBy("query_id", "neighbor_id")
+    }),
     // T7 scale path — distributed two-pass prefix-sum packing (the window
     // twin t07_seq_pack is the value-exact oracle; PackSpec pins equality)
     "x22_seq_pack" -> ((s: SparkSession, dir: String) => {

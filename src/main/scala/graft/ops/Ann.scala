@@ -534,12 +534,19 @@ object Ann {
     val cbk = corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
       .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
     val bounded = DropStats.capByKey(cbk, Seq("tbl", "bucket"), maxBucket, droppedRows)
-    val cand = qb.join(bounded, Seq("tbl", "bucket"))
+    knnScore(qb, bounded, k, nTables)
+  }
+
+  /** Shared scoring tail of the k-NN join: bucket equi-join, exact cosine,
+    * scalar distinct (multi-table collisions scored once), per-query top-k.
+    * Score-then-dedup keeps the aggregate a hash agg — dropDuplicates over
+    * the vector-carrying rows forces first(array) -> SortAggregate; the
+    * per-query top-k window is the only sort. */
+  private def knnScore(qb: DataFrame, corpusBuckets: DataFrame, k: Int,
+                       nTables: Int): DataFrame = {
+    val cand = qb.join(corpusBuckets, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "cid", "cv")
-    // score then dedup on scalars (hash agg), not dropDuplicates over the
-    // vector-carrying rows (first(array) -> SortAggregate) — see
-    // neardupPairs; the per-query top-k window below is the only sort
     val scored0 = cand
       .withColumn("cos_sim", round(expr(cosExpr("qv", "cv")), 6))
       .select("qid", "cid", "cos_sim")
@@ -551,6 +558,67 @@ object Ann {
       .filter(col("rn") <= k)
     scored.select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
       col("cos_sim"))
+  }
+
+  /** A served k-NN corpus: the OR-table bucketed (and capped) corpus as a
+    * WRITTEN table, plus the LSH parameters it was built with (stored
+    * beside it, so probes cannot silently rebucket with mismatched
+    * planes). At 10^12 rows the corpus side of a k-NN join is this —
+    * built once, probed by every query batch — not an in-memory
+    * rebucketing per batch (which `knnJoin` does, the one-shot form). */
+  case class ServedKnnCorpus(buckets: DataFrame, dim: Int, nBits: Int,
+                             nTables: Int)
+
+  /** Write the corpus side of the k-NN join once: OR-table buckets with
+    * the viral-bucket cap BAKED IN (counted via `droppedRows`), laid out
+    * `partitionBy(tbl, bucket)` so a probing batch reads only the
+    * directories its query buckets hit — nTables*|Q| of nTables*2^nBits.
+    * Params land beside the data for `openKnnCorpus`. */
+  def writeKnnCorpus(corpus: DataFrame, cId: String, cVec: String,
+                     path: String, dim: Int, nBits: Int = 8, nTables: Int = 4,
+                     maxBucket: Int = 10000,
+                     droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
+    val buckets = bucketsOfUdf(planeTables)
+    val cbk = corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
+      .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
+    DropStats.capByKey(cbk, Seq("tbl", "bucket"), maxBucket, droppedRows)
+      .write.partitionBy("tbl", "bucket").mode("overwrite")
+      .parquet(s"$path/buckets")
+    Seq((dim, nBits, nTables, maxBucket)).toDF("dim", "n_bits", "n_tables", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Reopen a written k-NN corpus with the parameters it was built with. */
+  def openKnnCorpus(spark: SparkSession, path: String): ServedKnnCorpus = {
+    val p = spark.read.parquet(s"$path/params").head()
+    ServedKnnCorpus(spark.read.parquet(s"$path/buckets"),
+      p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
+  /** Batch k-NN against a served corpus: only the QUERY side is bucketed
+    * at probe time (with the planes stored alongside the corpus); the join
+    * streams the written table through a partition-pruned scan — the
+    * query batch broadcasts, and dynamic partition pruning turns its
+    * (tbl, bucket) set into PartitionFilters on the directory layout, so
+    * a narrow batch never reads the full corpus. Value-equal to `knnJoin`
+    * over the same corpus (spec-pinned). */
+  def knnJoinServed(served: ServedKnnCorpus, queries: DataFrame,
+                    qId: String, qVec: String, k: Int): DataFrame = {
+    val planeTables = Array.tabulate(served.nTables)(l =>
+      hyperplanes(served.nBits, served.dim, 42L + 7919L * l))
+    val buckets = bucketsOfUdf(planeTables)
+    val cSchema = served.buckets.schema
+    // partition-column type inference can narrow tbl/bucket on read; cast
+    // the QUERY side to the stored types so the corpus join keys stay the
+    // raw partition attributes pruning resolves against
+    val qb = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .select(col("qid"), col("qv"), posexplode(buckets(col("qv"))).as(Seq("tbl", "bucket")))
+      .withColumn("tbl", col("tbl").cast(cSchema("tbl").dataType))
+      .withColumn("bucket", col("bucket").cast(cSchema("bucket").dataType))
+    knnScore(broadcast(qb), served.buckets, k, served.nTables)
   }
 
   /** Embedding-cosine near-dup pairs, the SCALE path: candidates come from

@@ -321,6 +321,24 @@ class OpsSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("x31 served batch k-NN: written bucket table + pruned probe equals the in-memory x21 join") {
+    // the corpus side of the k-NN join as a build-once written table: the
+    // probe must return exactly the in-memory rebucketing form's rows
+    // (same planes, same cap, same cosine/tiebreak), and the bucket scan
+    // must be partition-pruned by the query batch, not a full read
+    val mem = SparkEntry.queries("x21_knn_join_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val servedDf = SparkEntry.queries("x31_knn_join_served")(spark, sf)
+    val served = servedDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(served == mem, s"served=${served.take(5)}... mem=${mem.take(5)}...")
+    // dynamic partition pruning from the broadcast query batch must reach
+    // the directory layout of the written bucket table
+    val p = servedDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*dynamicpruning".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("quantizer training sample: seeded hash filter covers id-correlated clusters") {
     import spark.implicits._
     import graft.gen.Corpus.mix
