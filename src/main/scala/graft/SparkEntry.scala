@@ -442,6 +442,19 @@ object SparkEntry {
         "WITH " + LayoutQueries.Lines.replace("\n", " ") + " SELECT * FROM lines")(s, dir)
       graft.extract.Layout.layoutBlocks(lines).orderBy("doc", "block_id")
     }),
+    // A1 dedup-merge, DIRECT value-exact form: the REAL Entities.dedupWindow
+    // operator over a SQL-derivable planted entity set with engineered
+    // duplicate groups (case/padding variants, cross-format dates, tied
+    // confidences). Oracle: ExtractQueries.A11OracleDuck re-derives the set
+    // and applies the normalization-keyed A1 window independently. x10 stays
+    // the full tagEntities composition (rows-only — the tagger is a loopy
+    // cursor fold DuckDB cannot reproduce).
+    "a11_entity_dedup" -> ((s: SparkSession, dir: String) => {
+      val ents = runShared(
+        ExtractQueries.a11EntitySet(graft.queries.Dialect.Spark))(s, dir)
+      graft.extract.Entities.dedupWindow(ents)
+        .orderBy("doc_id", "entity_type", "start_pos")
+    }),
     "x09_boiler_strip" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       gen.Corpus.corpus(s, dir).map { d =>
@@ -500,5 +513,6 @@ object SparkEntry {
       ("x23_layout_extract" -> LayoutQueries.X23OracleDuck) +
       ("x04_chunks" -> ExtractQueries.X04OracleDuck) +
       ("x27_contamination_score" -> TrainingQueries.X27OracleDuck) +
-      ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck)
+      ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck) +
+      ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck)
 }

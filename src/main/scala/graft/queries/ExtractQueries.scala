@@ -397,4 +397,55 @@ object ExtractQueries {
       |       substr(text, CAST(start + 1 AS INT), CAST(e - start AS INT)) AS chunk
       |FROM ch ORDER BY doc_id, start"""
       .stripMargin.replace("\n", " ").replaceAll("\\s+", " ").trim
+
+  /** Planted entity set for a11_entity_dedup: seven rows per document with
+    * engineered duplicate groups, so the A1 keep-highest dedup has real
+    * work on every doc —
+    *  - two AMOUNT spellings (case + padding) where the HIGHER-confidence
+    *    later occurrence must win;
+    *  - three START_DATE spellings (padded mdy, whitespace-wrapped mdy,
+    *    iso ymd) that normalize to the SAME date: the confidence tie
+    *    resolves by start_pos, and the iso row must MERGE into the group
+    *    (cross-format normalization inside the dedup key);
+    *  - two CONTRACT_ID casings tied on confidence AND position: the
+    *    text-asc tiebreak picks the uppercase form.
+    * Rendered per dialect; both engines build the identical row set. */
+  def a11EntitySet(d: D): String = {
+    val amt = "CAST(doc_id % 900 + 100 AS STRING)"
+    val mdy = "lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '/' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0') || '/' || CAST(2019 + doc_id % 6 AS STRING)"
+    val ymd = "CAST(2019 + doc_id % 6 AS STRING) || '-' || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0') || '-' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+    val num = "lpad(CAST(doc_id * 7 % 9999 AS STRING), 4, '0')"
+    val rows = Seq(
+      (s"'R$$ ' || $amt || ',00'", "AMOUNT", 10, "0.85"),
+      (s"'r$$ ' || $amt || ',00 '", "AMOUNT", 40, "0.9"),
+      (mdy, "START_DATE", 5, "0.85"),
+      (s"' ' || $mdy || ' '", "START_DATE", 60, "0.85"),
+      (ymd, "START_DATE", 70, "0.8"),
+      (s"'K-' || $num", "CONTRACT_ID", 20, "0.8"),
+      (s"'k-' || $num", "CONTRACT_ID", 20, "0.8"))
+    rows.map { case (t, ty, pos, conf) =>
+      s"SELECT doc_id, $t AS text, '$ty' AS entity_type, " +
+        s"CAST($pos AS INT) AS start_pos, CAST($pos + length($t) AS INT) AS end_pos, " +
+        s"CAST($conf AS DOUBLE) AS confidence FROM documents"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** DuckDB oracle for a11_entity_dedup: the same planted entity set, the
+    * normalization twin as the dedup key (P17 semantics: dates to ISO via
+    * both accepted formats, otherwise lower(trim) — the amount rows are
+    * identical post-trim so the grouping coincides with the digit-strip
+    * mangle), and the A1 window (confidence DESC, start_pos, text). The
+    * Spark side runs the REAL Entities.dedupWindow operator. */
+  val A11OracleDuck: String = {
+    val d = Dialect.Duck
+    val low = "lower(trim(text))"
+    val dkey = s"coalesce(${d.d2iso(low, "M/d/yyyy", "%m/%d/%Y")}, ${d.d2iso(low, "yyyy-M-d", "%Y-%m-%d")}, $low)"
+    s"""WITH e AS (${a11EntitySet(d)}),
+       |n AS (SELECT *, CASE WHEN entity_type = 'START_DATE' THEN $dkey ELSE $low END AS nkey FROM e),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, nkey, entity_type
+       |        ORDER BY confidence DESC, start_pos, text) AS rn FROM n)
+       |SELECT doc_id, text, entity_type, start_pos, end_pos, confidence
+       |FROM r WHERE rn = 1 ORDER BY doc_id, entity_type, start_pos"""
+      .stripMargin.replace("\n", " ")
+  }
 }
