@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the training-data tier: the dedup -> CC ->
+  * decontaminate stages on the sf corpus at 1x and Kx (default 10x), so
+  * the "CC round overhead amortizes" and "cap join stays flat" claims are
+  * measurements, not plan-shape arguments.
+  *
+  * Replicas are DISTINCT documents, not clones: replica r Caesar-shifts
+  * the alphabet by r, so every word (hence every shingle/gram) differs
+  * across replicas while doc length, structure, and the intra-replica
+  * duplicate rate are preserved — a Kx corpus with the same dup density,
+  * which is what "10x more data" means. (Cloning instead would make every
+  * doc a 10-way near-dup cluster and measure the pathological-skew path,
+  * not scale-up.) Deterministic; no RNG, no wall clock.
+  *
+  * Prints one JSON line per scale with min-of-3 walls per stage
+  * (first pass doubles as warmup, same estimator as Bench).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def docsAt(k: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      (0 until k).map { r =>
+        val sh = abc.drop(r % 26) + abc.take(r % 26)
+        base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          translate(col("text"), abc + abc.toUpperCase,
+            sh + sh.toUpperCase).as("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    def bestOf3(f: => Long): (Double, Long) =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
+
+    spark.range(1000).selectExpr("sum(id)").collect() // codegen warmup
+
+    scales.foreach { k =>
+      val docs = docsAt(k)
+      val nDocs = docs.count()
+      val (tPairs, nPairs) = bestOf3 {
+        ops.Dedup.minhashCandidates(docs, "doc_id", "text").count()
+      }
+      val (tCc, nKeep) = bestOf3 {
+        ops.Dedup.resolveNearDups(docs, "doc_id", "text", threshold = 0.5)
+          .filter("is_keeper = 1").count()
+      }
+      val (tDecon, nCont) = bestOf3 {
+        ops.Decontaminate.contaminated(
+          docs.filter("doc_id % 10 <> 7"), "doc_id", "text",
+          docs.filter("doc_id % 10 = 7"), "text", n = 13).count()
+      }
+      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"sf":"$sfDir","cpus":$cpus}""")
+    }
+    spark.stop()
+  }
+}
