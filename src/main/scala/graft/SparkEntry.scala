@@ -145,6 +145,26 @@ object SparkEntry {
       ops.Dedup.minhashCandidates(docs, "doc_id", "text", droppedRows = Some(acc))
         .withColumn("dropped_rows", lit(acc.value)).orderBy("doc_a", "doc_b")
     }),
+    // Incremental ingestion dedup: the corpus split at a boundary — 80%
+    // pre-indexed (written minhash bucket index, bucketed+sorted layout),
+    // 20% arriving as the new shard. Candidates come from the shard-vs-
+    // index probe (corpus side streams with NO exchange) plus the
+    // within-shard self-join; the bucket cap applies to COMBINED
+    // corpus+shard bucket sizes via the index's pre-aggregated counts.
+    // Spec-pinned equal to the full-corpus x05 pairs touching shard docs.
+    "x32_incremental_dedup" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+      val table = s"graft_x32_mh_idx_${Integer.toHexString(dir.hashCode)}"
+      ops.Dedup.writeMinhashIndex(corpus, "doc_id", "text", table)
+      val idx = ops.Dedup.openMinhashIndex(s, table)
+      val acc = s.sparkContext.longAccumulator("x32_dropped_rows")
+      ops.Dedup.incrementalCandidates(shard, "doc_id", "text", idx,
+          droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value))
+        .orderBy("doc_a", "doc_b")
+    }),
     "x06_simhash_pairs" -> ((s: SparkSession, dir: String) => {
       // maxDist=3 -> 4 pigeonhole blocks of 16 bits = 65536 keys/block, so
       // the block equi-join stays selective at 10^12 docs (maxDist=12 gave

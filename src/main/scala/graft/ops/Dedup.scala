@@ -51,20 +51,125 @@ object Dedup {
                         bands: Int = 4, rowsPerBand: Int = 2,
                         maxBucket: Int = 1000,
                         droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand)
-    val bandKeys = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
-      expr(s"xxhash64(${rows.mkString(", ")})").as(s"bk_$b")
-    }
-    val keyed = sigs.select(col(idCol).as("id") +: bandKeys: _*)
-    val buckets = keyed.select(col("id"),
-      posexplode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as(Seq("band", "h")))
+    val buckets = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
     val bounded = DropStats.capByKey(buckets, Seq("band", "h"), maxBucket, droppedRows)
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** The banded (id, band, h) bucket rows behind `minhashCandidates` and
+    * the incremental index — one row per document per band. */
+  private def bucketRows(docs: DataFrame, idCol: String, textCol: String,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, bands * rowsPerBand)
+    val bandKeys = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
+      expr(s"xxhash64(${rows.mkString(", ")})").as(s"bk_$b")
+    }
+    sigs.select(col(idCol).as("id") +: bandKeys: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as(Seq("band", "h")))
+  }
+
+  /** A persisted minhash bucket index of an existing corpus: the banded
+    * bucket rows as a BUCKETED+SORTED warehouse table (joins on the bucket
+    * key stream the corpus with no exchange), the pre-aggregated per-key
+    * bucket sizes (so an incremental probe applies the combined cap
+    * without recounting the corpus), and the banding params stored with
+    * the data. */
+  case class MinhashIndex(buckets: DataFrame, keyCounts: DataFrame,
+                          bands: Int, rowsPerBand: Int)
+
+  /** Build the index of an existing corpus ONCE. At 10^12 docs this is
+    * the layout incremental ingestion amortizes against: appending a
+    * shard re-reads the (band, h, id) index — 3 longs per doc per band,
+    * never the corpus text — and the bucketed layout means the probe join
+    * shuffles only the shard side. */
+  def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, bands: Int = 4, rowsPerBand: Int = 2,
+                        nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // true overwrite semantics: a PREVIOUS session's index (catalog entry
+    // gone, managed location still on disk) must not block the rebuild —
+    // saveAsTable refuses to adopt an existing location it didn't create
+    Seq(table, s"${table}_counts", s"${table}_params").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
+    b.write.mode("overwrite").bucketBy(nBuckets, "band", "h")
+      .sortBy("band", "h").format("parquet").saveAsTable(table)
+    b.groupBy("band", "h").agg(count("*").as("n_corpus"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_counts")
+    Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_params")
+  }
+
+  /** Reopen a written minhash index with the params it was built with. */
+  def openMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String): MinhashIndex = {
+    val p = spark.table(s"${table}_params").head()
+    MinhashIndex(spark.table(table), spark.table(s"${table}_counts"),
+      p.getInt(0), p.getInt(1))
+  }
+
+  /** Incremental LSH candidates: dedup a NEW shard against an already-
+    * indexed corpus WITHOUT re-processing the corpus — the shape corpus
+    * ingestion actually runs (append 1 TB to 100 TB; only the shard is
+    * signatured, the corpus contributes its written index).
+    *
+    * Emits new-vs-corpus AND new-vs-new pairs as (doc_a, doc_b) with
+    * doc_a < doc_b — exactly the subset of `minhashCandidates(corpus ++
+    * shard)` pairs that touch a shard doc (spec-pinned), including under
+    * the cap: the bucket cap applies to the COMBINED bucket size
+    * (corpus index count + shard count), so a bucket that goes viral
+    * only across the ingestion boundary is still dropped — a per-side
+    * cap would miss it. Only shard-touched buckets are counted toward
+    * `droppedRows` (corpus-only buckets cannot produce new pairs).
+    * Caller guarantees shard ids are disjoint from corpus ids.
+    *
+    * Plan shape: shard counts join the pre-aggregated index counts
+    * (shard-keys-sized), the over-cap key list broadcasts, and the probe
+    * is a bucketed-table sort-merge join that shuffles ONLY the shard
+    * side — the corpus index streams with no exchange (spec-asserted). */
+  def incrementalCandidates(newDocs: DataFrame, idCol: String, textCol: String,
+                            index: MinhashIndex, maxBucket: Int = 1000,
+                            droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val sb = bucketRows(newDocs, idCol, textCol, index.bands, index.rowsPerBand)
+    val shardCounts = sb.groupBy("band", "h").agg(count("*").as("n_shard"))
+    val combined = shardCounts.join(index.keyCounts, Seq("band", "h"), "left")
+      .withColumn("n_total", col("n_shard") + coalesce(col("n_corpus"), lit(0L)))
+    val overCap = combined.filter(col("n_total") > maxBucket)
+    droppedRows.foreach { a =>
+      a.add(overCap.agg(coalesce(sum("n_total"), lit(0L))).head().getLong(0))
+    }
+    val marked = overCap.select(col("band"), col("h"), lit(true).as("_over"))
+    def keep(df: DataFrame): DataFrame =
+      df.join(broadcast(marked), Seq("band", "h"), "left")
+        .filter(col("_over").isNull).drop("_over")
+    val sbKept = keep(sb.withColumnRenamed("id", "new_id"))
+    val corpusKept = keep(index.buckets.withColumnRenamed("id", "cid"))
+    val newVsCorpus = sbKept.join(corpusKept, Seq("band", "h"))
+      .filter(col("new_id") =!= col("cid"))
+      .select(least(col("new_id"), col("cid")).as("doc_a"),
+        greatest(col("new_id"), col("cid")).as("doc_b"))
+    val newVsNew = sbKept.select(col("band"), col("h"), col("new_id").as("ida"))
+      .join(sbKept.select(col("band"), col("h"), col("new_id").as("idb")),
+        Seq("band", "h"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"))
+    newVsCorpus.union(newVsNew).distinct()
   }
 
   /** Exact n-gram Jaccard on candidate pairs (the verify stage after LSH). */

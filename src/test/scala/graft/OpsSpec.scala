@@ -468,6 +468,132 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Drop a minhash-index table triple AND its managed-table dirs (a
+    * failed prior run can leave the location without the catalog entry,
+    * which blocks the next saveAsTable). */
+  private def dropMinhashIndex(name: String): Unit =
+    Seq(name, s"${name}_counts", s"${name}_params").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
+  test("incremental minhash: shard-vs-index candidates equal the full-corpus pairs touching the shard") {
+    import spark.implicits._
+    // split the sf corpus at an ingestion boundary, plus one planted clone
+    // pair CROSSING it so the cross-boundary path is provably exercised
+    val clone = "zeta omega kappa sigma lambda theta epsilon delta gamma beta"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs = base.union(Seq((900001L, clone), (900002L, clone)).toDF("doc_id", "text"))
+    val isShard = (id: Long) => id % 5 == 0 || id == 900002L
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") =!= 900002L)
+    val shard = docs.filter(col("doc_id") % 5 === 0 || col("doc_id") === 900002L)
+    dropMinhashIndex("mh_idx_parity")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "mh_idx_parity")
+    val idx = Dedup.openMinhashIndex(spark, "mh_idx_parity")
+    assert(idx.bands == 4 && idx.rowsPerBand == 2)
+    val inc = Dedup.incrementalCandidates(shard, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => isShard(p._1) || isShard(p._2))
+    assert(inc == full, s"inc=${inc.size} full-restricted=${full.size}")
+    assert(inc.contains((900001L, 900002L)), "planted cross-boundary clone pair missing")
+    dropMinhashIndex("mh_idx_parity")
+  }
+
+  test("incremental minhash: combined cap catches buckets viral across the ingestion boundary") {
+    import spark.implicits._
+    // 10 clones indexed + 10 clones arriving: each side alone is under the
+    // cap of 15, combined 20 is over — a per-side cap would let the bucket
+    // through; the combined count must drop it AND report the loss
+    val viral = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = (1L to 10L).map(i => (i, viral)).toDF("doc_id", "text")
+    val shard = (101L to 110L).map(i => (i, viral)).toDF("doc_id", "text")
+    dropMinhashIndex("mh_idx_viral")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "mh_idx_viral")
+    val idx = Dedup.openMinhashIndex(spark, "mh_idx_viral")
+    val acc = spark.sparkContext.longAccumulator("inc_dropped")
+    val inc = Dedup.incrementalCandidates(shard, "doc_id", "text", idx,
+      maxBucket = 15, droppedRows = Some(acc))
+    assert(inc.count() == 0)
+    // 4 bands x (10 corpus + 10 shard) combined rows suppressed
+    assert(acc.value == 80, s"combined-cap drops miscounted: ${acc.value}")
+    dropMinhashIndex("mh_idx_viral")
+  }
+
+  test("incremental minhash probe: bucketed index layout removes the corpus-side shuffle") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i =>
+      (i, s"alpha$i beta$i gamma${i % 7} delta${i % 5} epsilon zeta eta")).toDF("doc_id", "text")
+    val shard = (1001L to 1020L).map(i =>
+      (i, s"alpha${i - 1000} beta${i - 1000} gamma${(i - 1000) % 7} delta${(i - 1000) % 5} epsilon zeta eta")).toDF("doc_id", "text")
+    dropMinhashIndex("mh_idx_plan")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", "mh_idx_plan", nBuckets = 4)
+    val bucketed = Dedup.openMinhashIndex(spark, "mh_idx_plan")
+    // identical probe against the same rows WITHOUT the bucketed layout:
+    // the only difference is the index table's physical layout
+    val plainDir = "/tmp/graft-test-mh-plain"
+    bucketed.buckets.write.mode("overwrite").parquet(plainDir)
+    val plain = bucketed.copy(buckets = spark.read.parquet(plainDir))
+    // whether the corpus-index scan is shuffled before reaching its probe
+    // join: walk the scan's ancestor chain (tree indentation) up to the
+    // first Join node and look for an Exchange on the way
+    def corpusShuffled(idx: Dedup.MinhashIndex, scanTag: String): Boolean = {
+      val df = Dedup.incrementalCandidates(shard, "doc_id", "text", idx)
+      df.count()
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+      def depth(l: String): Int = l.indexWhere(_.isLetter)
+      val scans = lines.zipWithIndex.filter(_._1.contains(scanTag)).map(_._2)
+      assert(scans.nonEmpty, s"no $scanTag scan in plan\n" + lines.take(40).mkString("\n"))
+      scans.exists { si =>
+        var cur = depth(lines(si)); var i = si - 1; var shuffled = false
+        var done = false
+        while (i >= 0 && !done) {
+          val d = depth(lines(i))
+          if (d >= 0 && d < cur) {
+            cur = d
+            if (lines(i).contains("Exchange hashpartitioning")) shuffled = true
+            // walk THROUGH the LeftOuter cap-filter join; the probe join
+            // (where a corpus shuffle would sit below) is the Inner one
+            if (lines(i).contains("Join") && lines(i).contains("Inner")) done = true
+          }
+          i -= 1
+        }
+        shuffled
+      }
+    }
+    // force the at-scale join strategy (a real shard is not broadcast-able)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(!corpusShuffled(bucketed, "default.mh_idx_plan["),
+        "bucketed index scan must stream into the probe join with no exchange")
+      assert(corpusShuffled(plain, "graft-test-mh-plain"),
+        "plain layout should need a corpus-side shuffle under sort-merge — " +
+          "if not, this guard is vacuous")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    dropMinhashIndex("mh_idx_plan")
+  }
+
+  test("x32 incremental dedup equals the x05 full-corpus pairs touching the shard") {
+    val full = SparkEntry.queries("x05_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shardTouching = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val inc = SparkEntry.queries("x32_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == shardTouching, s"inc=${inc.size} expected=${shardTouching.size}")
+  }
+
   test("capByKey oversize key-list fallback: same rows, no broadcast, still sort-free") {
     import spark.implicits._
     import graft.gen.Corpus.mix
