@@ -112,8 +112,28 @@ object Dedup {
       .sortBy("band", "h").format("parquet").saveAsTable(table)
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_counts")
-    Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+    Seq((bands, rowsPerBand, nBuckets))
+      .toDF("bands", "rows_per_band", "n_buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_params")
+  }
+
+  /** Fold an ACCEPTED shard into the index — the step after
+    * `incrementalCandidates` admits it. Appends the shard's bucket rows
+    * into the bucketed table (same bucket spec, so probe joins keep the
+    * no-shuffle layout) and its per-key counts as new epoch rows — the
+    * counts table is additive by construction (the probe sums epochs for
+    * the keys it touches), so no rewrite of corpus-scale state happens at
+    * ingest time. */
+  def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                           table: String): Unit = {
+    val spark = docs.sparkSession
+    val p = spark.table(s"${table}_params").head()
+    val (bands, rowsPerBand, nBuckets) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
+    b.write.mode("append").bucketBy(nBuckets, "band", "h")
+      .sortBy("band", "h").format("parquet").saveAsTable(table)
+    b.groupBy("band", "h").agg(count("*").as("n_corpus"))
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_counts")
   }
 
   /** Reopen a written minhash index with the params it was built with. */
@@ -139,16 +159,26 @@ object Dedup {
     * `droppedRows` (corpus-only buckets cannot produce new pairs).
     * Caller guarantees shard ids are disjoint from corpus ids.
     *
-    * Plan shape: shard counts join the pre-aggregated index counts
-    * (shard-keys-sized), the over-cap key list broadcasts, and the probe
-    * is a bucketed-table sort-merge join that shuffles ONLY the shard
-    * side — the corpus index streams with no exchange (spec-asserted). */
+    * Plan shape: the index counts table streams ONCE through a semi-join
+    * against the broadcast shard keys (epoch rows from appended shards
+    * summed for just those keys), the over-cap key list broadcasts, and
+    * the probe join streams the bucketed corpus index with no exchange —
+    * only the shard side ever shuffles (spec-asserted vs a plain-parquet
+    * layout). */
   def incrementalCandidates(newDocs: DataFrame, idCol: String, textCol: String,
                             index: MinhashIndex, maxBucket: Int = 1000,
                             droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val sb = bucketRows(newDocs, idCol, textCol, index.bands, index.rowsPerBand)
     val shardCounts = sb.groupBy("band", "h").agg(count("*").as("n_shard"))
-    val combined = shardCounts.join(index.keyCounts, Seq("band", "h"), "left")
+    // corpus counts for SHARD-TOUCHED keys only: the big counts table
+    // STREAMS through a semi-join against the broadcast shard keys (a
+    // left join the other way would have to build the corpus-scale side);
+    // epoch rows from appended shards are summed here, for just the keys
+    // the probe touches — never a whole-table re-aggregate
+    val corpusCounts = index.keyCounts
+      .join(broadcast(shardCounts.select("band", "h")), Seq("band", "h"), "left_semi")
+      .groupBy("band", "h").agg(sum("n_corpus").as("n_corpus"))
+    val combined = shardCounts.join(broadcast(corpusCounts), Seq("band", "h"), "left")
       .withColumn("n_total", col("n_shard") + coalesce(col("n_corpus"), lit(0L)))
     val overCap = combined.filter(col("n_total") > maxBucket)
     droppedRows.foreach { a =>

@@ -507,6 +507,34 @@ class OpsSpec extends AnyFunSuite {
     dropMinhashIndex("mh_idx_parity")
   }
 
+  test("incremental minhash: appended shard folds into the index, next probe sees it") {
+    import spark.implicits._
+    // build on A, append B (the accept step), probe C: candidates must
+    // equal the full-corpus pairs touching C — including a planted clone
+    // pair (B, C) that ONLY the appended epoch's rows and counts can find
+    val clone = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val a = base.filter(col("doc_id") % 3 === 1)
+    val b = base.filter(col("doc_id") % 3 === 2)
+      .union(Seq((910001L, clone)).toDF("doc_id", "text"))
+    val c = base.filter(col("doc_id") % 3 === 0)
+      .union(Seq((910002L, clone)).toDF("doc_id", "text"))
+    dropMinhashIndex("mh_idx_append")
+    Dedup.writeMinhashIndex(a, "doc_id", "text", "mh_idx_append")
+    Dedup.appendToMinhashIndex(b, "doc_id", "text", "mh_idx_append")
+    val idx = Dedup.openMinhashIndex(spark, "mh_idx_append")
+    val inc = Dedup.incrementalCandidates(c, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inC = (id: Long) => id % 3 == 0 || id == 910002L
+    val full = Dedup.minhashCandidates(a.union(b).union(c), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => inC(p._1) || inC(p._2))
+    assert(inc == full, s"inc=${inc.size} full-restricted=${full.size}")
+    assert(inc.contains((910001L, 910002L)), "appended-epoch clone pair missing")
+    dropMinhashIndex("mh_idx_append")
+  }
+
   test("incremental minhash: combined cap catches buckets viral across the ingestion boundary") {
     import spark.implicits._
     // 10 clones indexed + 10 clones arriving: each side alone is under the
