@@ -108,14 +108,24 @@ object Dedup {
       }
     }
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
+      .select(col("id"), col("band"), col("h"), lit(0L).as("epoch"))
     b.write.mode("overwrite").bucketBy(nBuckets, "band", "h")
       .sortBy("band", "h").format("parquet").saveAsTable(table)
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))
+      .select(col("band"), col("h"), col("n_corpus"), lit(0L).as("epoch"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_counts")
     Seq((bands, rowsPerBand, nBuckets))
       .toDF("bands", "rows_per_band", "n_buckets")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_params")
   }
+
+  /** Whether an epoch's rows have already landed in the index — the
+    * replay guard (a Spark write job commits atomically, so an epoch is
+    * either fully present or absent). */
+  def epochInMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, epoch: Long): Boolean =
+    spark.table(s"${table}_counts").filter(col("epoch") === epoch)
+      .limit(1).count() > 0
 
   /** Fold an ACCEPTED shard into the index — the step after
     * `incrementalCandidates` admits it. Appends the shard's bucket rows
@@ -123,16 +133,25 @@ object Dedup {
     * no-shuffle layout) and its per-key counts as new epoch rows — the
     * counts table is additive by construction (the probe sums epochs for
     * the keys it touches), so no rewrite of corpus-scale state happens at
-    * ingest time. */
+    * ingest time. `epoch` tags the shard's rows (auto = max existing + 1
+    * when negative); appending an epoch that is already present is a
+    * NO-OP, which makes a replayed streaming batch idempotent. */
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
-                           table: String): Unit = {
+                           table: String, epoch: Long = -1L): Unit = {
     val spark = docs.sparkSession
     val p = spark.table(s"${table}_params").head()
     val (bands, rowsPerBand, nBuckets) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val e =
+      if (epoch >= 0L) epoch
+      else spark.table(s"${table}_counts")
+        .agg(max("epoch")).head().getLong(0) + 1L
+    if (epoch >= 0L && epochInMinhashIndex(spark, table, e)) return
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
+      .select(col("id"), col("band"), col("h"), lit(e).as("epoch"))
     b.write.mode("append").bucketBy(nBuckets, "band", "h")
       .sortBy("band", "h").format("parquet").saveAsTable(table)
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))
+      .select(col("band"), col("h"), col("n_corpus"), lit(e).as("epoch"))
       .write.mode("append").format("parquet").saveAsTable(s"${table}_counts")
   }
 
@@ -167,7 +186,18 @@ object Dedup {
     * layout). */
   def incrementalCandidates(newDocs: DataFrame, idCol: String, textCol: String,
                             index: MinhashIndex, maxBucket: Int = 1000,
-                            droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                            droppedRows: Option[org.apache.spark.util.LongAccumulator] = None,
+                            excludeEpoch: Option[Long] = None): DataFrame = {
+    // excludeEpoch: ignore index rows the CURRENT ingest attempt may have
+    // already appended (streaming replay after a crash between the index
+    // append and the offset commit) — with its own epoch filtered out,
+    // a replayed probe sees exactly the pre-append index state, so the
+    // recomputed candidates are byte-identical
+    val (idxBuckets, idxCounts) = excludeEpoch match {
+      case Some(e) => (index.buckets.filter(col("epoch") =!= e),
+        index.keyCounts.filter(col("epoch") =!= e))
+      case None => (index.buckets, index.keyCounts)
+    }
     val sb = bucketRows(newDocs, idCol, textCol, index.bands, index.rowsPerBand)
     val shardCounts = sb.groupBy("band", "h").agg(count("*").as("n_shard"))
     // corpus counts for SHARD-TOUCHED keys only: the big counts table
@@ -175,7 +205,7 @@ object Dedup {
     // left join the other way would have to build the corpus-scale side);
     // epoch rows from appended shards are summed here, for just the keys
     // the probe touches — never a whole-table re-aggregate
-    val corpusCounts = index.keyCounts
+    val corpusCounts = idxCounts
       .join(broadcast(shardCounts.select("band", "h")), Seq("band", "h"), "left_semi")
       .groupBy("band", "h").agg(sum("n_corpus").as("n_corpus"))
     val combined = shardCounts.join(broadcast(corpusCounts), Seq("band", "h"), "left")
@@ -189,7 +219,7 @@ object Dedup {
       df.join(broadcast(marked), Seq("band", "h"), "left")
         .filter(col("_over").isNull).drop("_over")
     val sbKept = keep(sb.withColumnRenamed("id", "new_id"))
-    val corpusKept = keep(index.buckets.withColumnRenamed("id", "cid"))
+    val corpusKept = keep(idxBuckets.withColumnRenamed("id", "cid"))
     val newVsCorpus = sbKept.join(corpusKept, Seq("band", "h"))
       .filter(col("new_id") =!= col("cid"))
       .select(least(col("new_id"), col("cid")).as("doc_a"),

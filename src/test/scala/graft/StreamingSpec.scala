@@ -151,6 +151,54 @@ class StreamingSpec extends AnyFunSuite {
       "batch replay appended duplicates")
   }
 
+  test("streaming incremental dedup: shards fold into the index, replay is exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val (inDir, outDir, ck) = (s"$root/in", s"$root/cands", s"$root/ck")
+    val table = "mh_stream_test"
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val clone = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val s1 = base.filter(col("doc_id") % 2 === 0)
+      .union(Seq((920001L, clone)).toDF("doc_id", "text"))
+    val s2 = base.filter(col("doc_id") % 2 === 1)
+      .union(Seq((920002L, clone)).toDF("doc_id", "text"))
+    // shard 1 lands -> batch 0 creates the index
+    s1.write.mode("append").parquet(inDir)
+    val q1 = pipeline.StreamingDedup.start(spark, inDir, table, outDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    // kill + restart from the checkpoint; shard 2 lands -> batch 1 probes
+    s2.write.mode("append").parquet(inDir)
+    val q2 = pipeline.StreamingDedup.start(spark, inDir, table, outDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    val b0 = spark.read.parquet(s"$outDir/batch=000000")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = spark.read.parquet(s"$outDir/batch=000001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 0 = within-shard-1 pairs; batch 1 = full-corpus pairs touching
+    // shard 2 (incl. the planted clone pair crossing the batch boundary)
+    val full = ops.Dedup.minhashCandidates(s1.union(s2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inS2 = (id: Long) => id % 2 == 1 || id == 920002L
+    assert(b0 == full.filter(p => !inS2(p._1) && !inS2(p._2)))
+    assert(b1 == full.filter(p => inS2(p._1) || inS2(p._2)))
+    assert(b1.contains((920001L, 920002L)), "cross-batch clone pair missing")
+    // replay batch 1 (crash between index append and offset commit): the
+    // epoch exclusion + no-op append must reproduce identical outputs
+    val idxRowsBefore = spark.table(table).count()
+    pipeline.StreamingDedup.dedupBatch(s2.toDF(), 1L, table, outDir)
+    val b1Replayed = spark.read.parquet(s"$outDir/batch=000001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1Replayed == b1, "replayed candidates differ")
+    assert(spark.table(table).count() == idxRowsBefore,
+      "replay double-appended index rows")
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming into an outDir seeded by batch runs: seqs extend, never collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
