@@ -50,6 +50,12 @@ final case class D(isSpark: Boolean) {
   def h60(x: String): String =
     if (isSpark) s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
     else s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  /** bigint right-shift (Spark SQL has no >> operator; DuckDB does) */
+  def shr(x: String, n: Int): String =
+    if (isSpark) s"shiftright($x, $n)" else s"($x >> $n)"
+  /** bigint xor (DuckDB's ^ is POWER; its xor is a function) */
+  def bxor(a: String, b: String): String =
+    if (isSpark) s"($a ^ $b)" else s"xor($a, $b)"
   /** timestamp -> 'yyyy-MM-dd HH:mm:ss' string */
   def ts2s(e: String): String =
     if (isSpark) s"date_format($e, 'yyyy-MM-dd HH:mm:ss')"

@@ -263,6 +263,41 @@ object TrainingQueries {
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
 
+    // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word
+    // hashes (multiset votes: bit b set iff ones outnumber zeros), paired
+    // via pigeonhole blocks (4 x 15 bits — hamming <= 3 implies at least
+    // one equal block), the bucket-cap predicate, and bit_count(xor) as
+    // the exact distance — the whole construction in dialect-shared SQL
+    // both engines run (x06 stays the xxhash64/UDF scale path, rows-only
+    // by harness contract). maxBucket=2 fires on this corpus's clone
+    // buckets, so cap + blocks + distance are all pinned, like d04.
+    "d13_simhash_pairs" -> q { d =>
+      val hs = d.lmap("w", s"x -> ${d.h60("x")}")
+      val h = if (d.isSpark) "explode(hs) AS h" else "unnest(hs) AS h"
+      val votes = (0 until 60)
+        .map(b => s"sum(${d.shr("h", b)} & 1) AS v$b").mkString(", ")
+      val sig = (0 until 60)
+        .map(b => s"(CASE WHEN 2 * v$b > n THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val blkSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, sim, ${d.shr("sim", 15 * b)} & 32767 AS k, $b AS blk FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+         |e AS (SELECT doc_id, $h FROM (SELECT doc_id, $hs AS hs FROM w WHERE ${d.size("w")} >= 1) t),
+         |votes AS (SELECT doc_id, count(*) AS n, $votes FROM e GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sig AS sim FROM votes),
+         |bk AS ($blkSelects),
+         |c AS (SELECT blk, k, count(*) AS cnt FROM bk GROUP BY blk, k),
+         |kept AS (SELECT bk.doc_id, bk.sim, bk.blk, bk.k FROM bk
+         |  JOIN c ON bk.blk = c.blk AND bk.k = c.k WHERE c.cnt <= 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(${d.bxor("a.sim", "b.sim")}) AS INT) AS hamming
+         |FROM kept a JOIN kept b
+         |  ON a.blk = b.blk AND a.k = b.k AND a.doc_id < b.doc_id
+         |WHERE bit_count(${d.bxor("a.sim", "b.sim")}) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+    },
+
     // D9 — benchmark decontamination, small-bench substring form: flag
     // corpus docs containing any planted benchmark snippet (GPT-3
     // appendix-C hygiene; the snippets hit distinct Ctext branches so the
