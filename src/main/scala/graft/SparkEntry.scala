@@ -420,6 +420,19 @@ object SparkEntry {
           docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // The bloom-runtime-filter form of x18 — for bench sets too large to
+    // broadcast: corpus grams are pruned by a bloom over the bench gram
+    // hashes BELOW their first exchange; false positives die in the exact
+    // join, so the result is row-identical to x18 and shares its
+    // value-exact DuckDB oracle.
+    "x33_decontaminate_bloom" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      ops.Decontaminate.contaminatedPrefiltered(
+          docs.filter("doc_id % 10 <> 7"), "doc_id", "ctext",
+          docs.filter("doc_id % 10 = 7"), "ctext", n = 13)
+        .orderBy("doc_id")
+    }),
     // Graded decontamination — the threshold-filtering form: every corpus
     // doc scored (n_grams, n_hits, overlap_ratio). Value-exact oracle
     // (TrainingQueries.X27OracleDuck, gram-string re-derivation).
@@ -533,6 +546,7 @@ object SparkEntry {
       ("x23_layout_extract" -> LayoutQueries.X23OracleDuck) +
       ("x04_chunks" -> ExtractQueries.X04OracleDuck) +
       ("x27_contamination_score" -> TrainingQueries.X27OracleDuck) +
+      ("x33_decontaminate_bloom" -> TrainingQueries.X18OracleDuck) +
       ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck) +
       ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck)
 }

@@ -41,12 +41,17 @@ object Decontaminate {
   def gramHashes(textCol: Column, n: Int): Column =
     gramsFromWords(wordsOf(textCol), n)
 
+  /** Raw (id, gram-hash) rows, pre-distinct — the seam where a
+    * pre-exchange filter (bloom) can prune before any shuffle. */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+      .select(col("id"), explode(gramsFromWords(col("w"), n)).as("gh"))
+
   /** Distinct (id, gram-hash) pairs for a document set. */
   private def gramTable(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
-      .select(col("id"), explode(gramsFromWords(col("w"), n)).as("gh"))
-      .distinct()
+    gramRows(docs, idCol, textCol, n).distinct()
 
   /** Distinct bench-side gram hashes. */
   private def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
@@ -64,6 +69,44 @@ object Decontaminate {
       "use a real n-gram width (GPT-3 used 13)")
     gramTable(corpus, idCol, textCol, n)
       .join(benchGramSet(bench, benchTextCol, n), "gh")
+      .groupBy(col("id").as(idCol))
+      .agg(count("*").cast("int").as("n_hits"))
+  }
+
+  /** `contaminated` with a BLOOM pre-filter on the corpus side — the
+    * runtime-filter shape for when the bench/eval set is too large to
+    * broadcast (say 10^8 grams from a full eval-suite sweep): without it,
+    * the join sort-merges and EVERY corpus gram hash shuffles — at 10^12
+    * docs that shuffle dwarfs the real overlap, which is near-empty by
+    * construction. A bloom over the bench gram hashes (~1.2 GB at 10^9
+    * entries / 1% fpp, ~10-20x smaller than a hash relation) broadcasts
+    * where the exact set cannot, and the corpus side drops non-candidate
+    * grams BEFORE its exchange; false positives die in the exact join
+    * that follows, so the result is row-identical to `contaminated`
+    * (spec-pinned, and x33 pins it against the same DuckDB oracle as
+    * x18). `expectedBenchGrams` sizes the filter without an extra
+    * counting pass when the caller knows the bench scale (same hint
+    * pattern as Ann.hashSample); <= 0 counts. The probe is a Scala UDF
+    * because Spark exposes no public might_contain — one primitive-long
+    * call per gram, applied only on the pre-exchange map side. */
+  def contaminatedPrefiltered(corpus: DataFrame, idCol: String, textCol: String,
+                              bench: DataFrame, benchTextCol: String,
+                              n: Int = 13, fpp: Double = 0.01,
+                              expectedBenchGrams: Long = -1L): DataFrame = {
+    require(n >= 2, s"n=$n: a 1-gram overlap check flags any shared word — " +
+      "use a real n-gram width (GPT-3 used 13)")
+    val bg = benchGramSet(bench, benchTextCol, n)
+    val expected = if (expectedBenchGrams > 0L) expectedBenchGrams
+      else math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("gh", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
+    // the filter sits on the RAW gram rows, below the distinct's
+    // exchange — pruning before any shuffle is the entire point
+    gramRows(corpus, idCol, textCol, n)
+      .filter(mightContain(col("gh")))
+      .distinct()
+      .join(bg, "gh")
       .groupBy(col("id").as(idCol))
       .agg(count("*").cast("int").as("n_hits"))
   }

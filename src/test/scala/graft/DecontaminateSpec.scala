@@ -72,6 +72,50 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted corpus should produce contamination hits")
   }
 
+  test("bloom-prefiltered form is row-identical to the exact join, and prunes pre-exchange") {
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    val corpusDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents WHERE doc_id % 10 <> 7")
+    val benchDf = spark.sql(
+      s"SELECT ${graft.queries.Dialect.Ctext} AS ctext FROM documents WHERE doc_id % 10 = 7")
+    val exact = Decontaminate.contaminated(corpusDf, "doc_id", "ctext", benchDf, "ctext")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // bloom false positives must die in the exact join — at ANY fpp,
+    // including an absurdly sloppy filter
+    for (fpp <- Seq(0.01, 0.3)) {
+      val got = Decontaminate.contaminatedPrefiltered(
+          corpusDf, "doc_id", "ctext", benchDf, "ctext", fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === exact, s"fpp=$fpp")
+    }
+    // the size hint must not change results (same pattern as hashSample)
+    val hinted = Decontaminate.contaminatedPrefiltered(
+        corpusDf, "doc_id", "ctext", benchDf, "ctext", expectedBenchGrams = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hinted === exact)
+    // plan: the bloom probe filter sits BELOW the first exchange of the
+    // corpus gram derivation (pruning before any shuffle is the point)
+    val df = Decontaminate.contaminatedPrefiltered(
+      corpusDf, "doc_id", "ctext", benchDf, "ctext")
+    df.count()
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    def depth(l: String): Int = l.indexWhere(_.isLetter)
+    val udfFilters = lines.zipWithIndex
+      .filter(p => p._1.contains("Filter") && p._1.contains("UDF")).map(_._2)
+    assert(udfFilters.nonEmpty, lines.take(40).mkString("\n"))
+    // no Exchange may appear BELOW the probe filter in its subtree
+    assert(udfFilters.exists { fi =>
+      val d0 = depth(lines(fi))
+      var i = fi + 1; var clean = true
+      while (i < lines.length && depth(lines(i)) > d0) {
+        if (lines(i).contains("Exchange")) clean = false
+        i += 1
+      }
+      clean
+    }, "bloom probe filter is not pre-exchange:\n" + lines.mkString("\n").take(3000))
+  }
+
   test("overlapScore == brute-force ratios; gram-free and clean docs score 0") {
     import spark.implicits._
     val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
