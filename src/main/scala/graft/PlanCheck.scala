@@ -17,7 +17,14 @@ object PlanCheck {
                   // served indexes (x25/x30 print the pruned cell scans)
                   "x05_minhash_pairs", "x23_layout_extract",
                   "x27_contamination_score", "x25_ann_served",
-                  "x30_ann_ivfpq_served")) {
+                  "x30_ann_ivfpq_served",
+                  // round-5 additions: the banded/simhash oracle tiers,
+                  // served batch k-NN (DPP on the bucket table),
+                  // incremental shard dedup (no-shuffle corpus index),
+                  // and the bloom-prefiltered decontamination
+                  "d04_banded_pairs", "d13_simhash_pairs",
+                  "x31_knn_join_served", "x32_incremental_dedup",
+                  "x33_decontaminate_bloom")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
