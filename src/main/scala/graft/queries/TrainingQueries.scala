@@ -263,6 +263,32 @@ object TrainingQueries {
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
     },
 
+    // T10 — per-domain curation rollup (C4/Gopher/RefinedWeb-style): every
+    // serious crawl pipeline aggregates quality AT THE SOURCE/DOMAIN level
+    // before per-doc filtering — a spam domain is dropped wholesale, not
+    // doc by doc. Per source: doc count, mean chars/tokens, exact-dup rate
+    // (1 - distinct d01 keys / docs), and the keep/drop decision. One
+    // hash agg + a distinct-count (two-level agg) — at 10^12 docs this is
+    // the cheap query that saves the expensive ones. Thresholds fire both
+    // branches on this corpus (mean chars straddle 280; two sources carry
+    // planted dup clusters).
+    "t10_domain_stats" -> q { d =>
+      val ntok = d.size("regexp_extract_all(text, '\\S+', 0)")
+      s"""WITH base AS (SELECT source, n_chars, $ntok AS ntok,
+         |  md5(substr(text, 1, 24)) AS key FROM documents),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |  round(avg(n_chars), 4) AS mean_chars,
+         |  round(avg(ntok), 4) AS mean_tokens,
+         |  round(1 - count(DISTINCT key) * 1e0 / count(*), 6) AS dup_rate
+         |  FROM base GROUP BY source)
+         |SELECT source, CAST(n_docs AS INT) AS n_docs, mean_chars,
+         |  mean_tokens, dup_rate,
+         |  CASE WHEN dup_rate > 0.02 THEN 'drop_dup_farm'
+         |       WHEN mean_chars < 280 THEN 'drop_low_content'
+         |       ELSE 'keep' END AS decision
+         |FROM agg ORDER BY source""".stripMargin.replace("\n", " ")
+    },
+
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word
     // hashes (multiset votes: bit b set iff ones outnumber zeros), paired
     // via pigeonhole blocks (4 x 15 bits — hamming <= 3 implies at least
