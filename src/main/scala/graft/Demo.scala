@@ -105,6 +105,21 @@ object Demo {
     println(s"[demo] media frames: $still stills, $multi multi-frame clips decoded")
     val audioRows = SparkEntry.queries("x26_audio_features")(spark, sfDir).count()
     println(s"[demo] audio: $audioRows windowed RMS/ZCR feature rows from decoded WAV clips")
+    // incremental ingestion: 80% of the corpus pre-indexed, 20% arriving —
+    // candidates come from the shard-vs-index probe, corpus never reprocessed
+    val incAcc = spark.sparkContext.longAccumulator("graft.inc_dropped")
+    val incTable = "graft_demo_mh_idx"
+    ops.Dedup.writeMinhashIndex(raw.filter($"doc_id" % 5 =!= 0), "doc_id", "text", incTable)
+    val nInc = ops.Dedup.incrementalCandidates(raw.filter($"doc_id" % 5 === 0),
+      "doc_id", "text", ops.Dedup.openMinhashIndex(spark, incTable),
+      droppedRows = Some(incAcc)).count()
+    println(s"[demo] incremental dedup: $nInc shard-touching candidate pairs " +
+      s"vs the written index (combined-cap dropped rows: ${incAcc.value})")
+    // domain-level curation rollup: wholesale keep/drop per source
+    val domains = SparkEntry.queries("t10_domain_stats")(spark, sfDir)
+      .groupBy("decision").count().orderBy("decision")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[demo] domain curation: $domains")
     // the composed keep/drop endpoint + its per-stage funnel
     val funnel = SparkEntry.queries("a06_filter_funnel")(spark, sfDir)
       .collect().map(r => s"${r.getString(0)}=${r.getInt(1)}").mkString(" ")
