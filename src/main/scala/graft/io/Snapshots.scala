@@ -171,4 +171,140 @@ object Snapshots {
       case Some(l) => graft.pipeline.Pipeline.resume(docs, l)
       case None => docs
     }
+
+  /** Snapshot maintenance — the Iceberg expire-snapshots + rewrite-data-
+    * files pair. Every snapshot with seq <= `upToId`'s folds into ONE
+    * baseline partition (id `compact-<upToId>`, same seq): contracts
+    * resolved keep-latest per doc, ledger reduced to the latest row per
+    * (doc, stage), both coalesced to `files` files — the small-files fix
+    * an accumulating checkpoint history needs at scale (k snapshots x p
+    * partition files otherwise grow without bound and each asOf read
+    * lists them all).
+    *
+    * Semantics after compaction: `asOf`/`changes`/`resume` at or after
+    * the compaction point are UNCHANGED (spec-pinned); time travel to
+    * snapshots BEFORE it is gone — exactly Iceberg's expire contract.
+    *
+    * Crash safety (single-writer outDir, same contract as the writers):
+    * the baseline partitions are written FIRST (manifestless = invisible
+    * to every reader), then a `_compact_pending` protocol file makes the
+    * manifest swap (delete folded manifests + seq markers, claim the
+    * target seq, publish the baseline manifest) recoverable: a crash
+    * anywhere inside the swap is finished by the next `compact` call on
+    * the dir. Folded DATA partitions are deleted last — leftovers are
+    * manifestless and therefore ignored by every reader. */
+  def compact(spark: SparkSession, outDir: String, upToId: String,
+              files: Int = 1): String =
+    compactImpl(spark, outDir, upToId, files, crashBeforeSwap = false)
+
+  /** `crashBeforeSwap` is a test seam: throw after the `_compact_pending`
+    * protocol file is published but before the swap runs — the worst-case
+    * crash point the recovery path must finish. */
+  private[graft] def compactImpl(spark: SparkSession, outDir: String,
+                                 upToId: String, files: Int,
+                                 crashBeforeSwap: Boolean): String = {
+    finishPendingCompact(outDir)
+    val ms = list(outDir)
+    val compactIdIfDone = s"compact-$upToId"
+    // a prior call crashed after publishing the protocol file: the
+    // finishPendingCompact above just completed its swap, so the target id
+    // is gone and the baseline exists — retrying with the same args is the
+    // documented recovery and must succeed, not error on the missing id
+    if (ms.exists(_.snapshotId == compactIdIfDone) &&
+        !ms.exists(_.snapshotId == upToId)) return compactIdIfDone
+    val target = ms.find(_.snapshotId == upToId)
+      .getOrElse(sys.error(s"unknown snapshot '$upToId' in $outDir " +
+        s"(have: ${ms.map(_.snapshotId).mkString(", ")})"))
+    val folded = ms.filter(_.seq <= target.seq)
+    val compactId = s"compact-${target.snapshotId}"
+    require(!ms.exists(_.snapshotId == compactId),
+      s"snapshot id '$compactId' already exists in $outDir")
+    val view = asOf(spark, outDir, upToId)
+    import spark.implicits._
+    // a table root cannot be overwritten while it is being read, so each
+    // baseline is written to a temp dir and RENAMED into its partition —
+    // which is also what a real table format does (new files + metadata
+    // swap, never in-place)
+    def writeInto(df: DataFrame, tbl: String): Unit = {
+      val tmp = Paths.get(outDir, s"_compact_tmp_$tbl")
+      df.drop("snapshot_id").coalesce(files)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val dest = Paths.get(outDir, tbl, s"snapshot_id=$compactId")
+      Files.createDirectories(dest.getParent)
+      if (Files.exists(dest)) {
+        Files.walk(dest).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+      Files.move(tmp, dest)
+      ()
+    }
+    // resolved contracts re-homed into the baseline partition
+    writeInto(view.contracts, "contracts")
+    // ledger reduced to the latest ROW per (doc, stage): max_by over the
+    // manifest seq — hash aggregate, no window sort (maintenance job or
+    // not, the house plan rule holds)
+    val seqDf = folded.map(m => (m.snapshotId, m.seq)).toDF("snapshot_id", "seq")
+    val rest = view.ledger.columns
+      .filterNot(Set("doc_id", "stage", "snapshot_id").contains)
+    val packed = rest.map(c => s"'$c', $c").mkString(", ")
+    val led = view.ledger.join(broadcast(seqDf), "snapshot_id")
+      .groupBy("doc_id", "stage")
+      .agg(expr(s"max_by(named_struct($packed), seq)").as("_r"))
+    writeInto(
+      rest.foldLeft(led)((df, c) => df.withColumn(c, col(s"_r.$c"))).drop("_r"),
+      "lineage")
+    // manifest counts from the WRITTEN baseline, never from plan-side
+    // aggregates (the at-least-once rule writers follow)
+    val written = spark.read
+      .parquet(s"$outDir/contracts/snapshot_id=$compactId")
+    val r = written.agg(
+      coalesce(sum(when(col("status") === "ok", 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("status") =!= "ok", 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("status") === "ok", col("n_spans").cast("long"))), lit(0L)))
+      .head()
+    val manifest =
+      s"""{"snapshot_id":"$compactId","docs_ok":${r.getLong(0)},"docs_err":${r.getLong(1)},"spans_seen":${r.getLong(2)},"seq":${target.seq}}"""
+    // recoverable swap protocol: manifest line, folded ids, folded seqs —
+    // published ATOMICALLY (temp + move) so a crash mid-write can never
+    // leave a half-written protocol file for recovery to trip over
+    val pendingTmp = Paths.get(outDir, "_compact_pending.tmp")
+    Files.writeString(pendingTmp,
+      manifest + "\n" + folded.map(_.snapshotId).mkString(",") + "\n" +
+        folded.map(_.seq).mkString(","))
+    Files.move(pendingTmp, Paths.get(outDir, "_compact_pending"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (crashBeforeSwap)
+      throw new IllegalStateException("test crash seam: before manifest swap")
+    finishPendingCompact(outDir)
+    compactId
+  }
+
+  /** Complete a compaction swap left behind by a crash (or the tail of a
+    * live one): delete the folded manifests and seq markers, claim the
+    * baseline's seq, publish its manifest, drop the pending file, then
+    * delete the folded data partitions. Every step is idempotent. */
+  private def finishPendingCompact(outDir: String): Unit = {
+    val pending = Paths.get(outDir, "_compact_pending")
+    if (!Files.exists(pending)) return
+    val Array(manifest, idsLine, seqsLine) =
+      Files.readString(pending).split("\n", 3)
+    val ManifestRe(compactId, _, _, _, seqStr) = manifest: @unchecked
+    val foldedIds = idsLine.split(",").filter(_.nonEmpty)
+    foldedIds.foreach { id =>
+      Files.deleteIfExists(Paths.get(outDir, s"_manifest_$id.json")); ()
+    }
+    seqsLine.split(",").filter(_.nonEmpty).foreach { s =>
+      Files.deleteIfExists(Paths.get(outDir, s"_seq_$s")); ()
+    }
+    Files.writeString(Paths.get(outDir, s"_seq_$seqStr"), compactId)
+    Files.writeString(Paths.get(outDir, s"_manifest_$compactId.json"), manifest)
+    Files.deleteIfExists(pending)
+    for (tbl <- Seq("contracts", "lineage"); id <- foldedIds) {
+      val dir = Paths.get(outDir, tbl, s"snapshot_id=$id")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }
+  }
 }

@@ -132,6 +132,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(atA.contracts.count() == idsA.size)
   }
 
+  test("snapshot compaction: expire+rewrite preserves asOf/resume at and after the point") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // three snapshots with reprocessing overlap; C does NOT cover all, so
+    // a nonempty pending set must survive compaction unchanged
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 5 =!= 0), out, "snap-a")
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 3 === 0), out, "snap-b")
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 7 === 0), out, "snap-c")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("contract.doc_id"), col("status"), col("op_hash"), col("n_spans"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val atC0 = key(graft.io.Snapshots.asOf(spark, out, "snap-c").contracts)
+    val atB0 = key(graft.io.Snapshots.asOf(spark, out, "snap-b").contracts)
+    val pend0 = graft.io.Snapshots.pending(spark, docs, out)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(pend0.nonEmpty)
+
+    val id = graft.io.Snapshots.compact(spark, out, "snap-b")
+    assert(id == "compact-snap-b")
+    // history before the point is expired; the baseline takes its seq
+    assert(graft.io.Snapshots.list(out).map(m => (m.snapshotId, m.seq)) ==
+      Seq(("compact-snap-b", 1L), ("snap-c", 2L)))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_seq_1")).trim == "compact-snap-b")
+    // reads at and after the point are value-identical
+    assert(key(graft.io.Snapshots.asOf(spark, out, "snap-c").contracts) == atC0)
+    assert(key(graft.io.Snapshots.asOf(spark, out, "compact-snap-b").contracts) == atB0)
+    val pend1 = graft.io.Snapshots.pending(spark, docs, out)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(pend1 == pend0, "pending set changed across compaction")
+    // folded partitions and manifests are gone; the baseline is compact
+    for (t <- Seq("contracts", "lineage"); s <- Seq("snap-a", "snap-b")) {
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, t, s"snapshot_id=$s")), s"$t/$s survived")
+    }
+    val baseFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(out, "contracts", "snapshot_id=compact-snap-b"))
+      .iterator()
+    val n = Iterator.continually(baseFiles).takeWhile(_.hasNext).map(_.next())
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(n == 1, s"baseline not compacted to one file: $n")
+    // the swap protocol file must not linger
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_compact_pending")))
+  }
+
+  test("snapshot compaction: a crash after the protocol file publishes is recovered by retry") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 5 =!= 0), out, "snap-a")
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 3 === 0), out, "snap-b")
+    Pipeline.run(spark, docs.filter(xxhash64(col("doc_id")) % 7 === 0), out, "snap-c")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("contract.doc_id"), col("status"), col("op_hash"), col("n_spans"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val atC0 = key(graft.io.Snapshots.asOf(spark, out, "snap-c").contracts)
+    val atB0 = key(graft.io.Snapshots.asOf(spark, out, "snap-b").contracts)
+
+    // crash at the worst point: baseline written, protocol file published,
+    // swap not yet run
+    intercept[IllegalStateException] {
+      graft.io.Snapshots.compactImpl(spark, out, "snap-b", 1, crashBeforeSwap = true)
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_compact_pending")))
+    // pre-swap state: old manifests intact, so readers still see the old
+    // history untouched (the baseline partitions are manifestless)
+    assert(graft.io.Snapshots.list(out).map(_.snapshotId) ==
+      Seq("snap-a", "snap-b", "snap-c"))
+    assert(key(graft.io.Snapshots.asOf(spark, out, "snap-c").contracts) == atC0)
+
+    // retry with the same args completes the swap and returns the id
+    val id = graft.io.Snapshots.compact(spark, out, "snap-b")
+    assert(id == "compact-snap-b")
+    assert(graft.io.Snapshots.list(out).map(m => (m.snapshotId, m.seq)) ==
+      Seq(("compact-snap-b", 1L), ("snap-c", 2L)))
+    assert(key(graft.io.Snapshots.asOf(spark, out, "snap-c").contracts) == atC0)
+    assert(key(graft.io.Snapshots.asOf(spark, out, "compact-snap-b").contracts) == atB0)
+    for (t <- Seq("contracts", "lineage"); s <- Seq("snap-a", "snap-b")) {
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, t, s"snapshot_id=$s")), s"$t/$s survived")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_compact_pending")))
+    // a second retry is a no-op that still answers with the baseline id
+    assert(graft.io.Snapshots.compact(spark, out, "snap-b") == "compact-snap-b")
+  }
+
   test("pending: a doc whose LATEST snapshot errored is reprocessed despite an older ok record") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-stale").toString
