@@ -81,7 +81,8 @@ object Dedup {
     * without recounting the corpus), and the banding params stored with
     * the data. */
   case class MinhashIndex(buckets: DataFrame, keyCounts: DataFrame,
-                          bands: Int, rowsPerBand: Int)
+                          bands: Int, rowsPerBand: Int,
+                          maxFoldedEpoch: Long = -1L)
 
   /** Build the index of an existing corpus ONCE. At 10^12 docs this is
     * the layout incremental ingestion amortizes against: appending a
@@ -96,10 +97,9 @@ object Dedup {
     // true overwrite semantics: a PREVIOUS session's index (catalog entry
     // gone, managed location still on disk) must not block the rebuild —
     // saveAsTable refuses to adopt an existing location it didn't create
-    Seq(table, s"${table}_counts", s"${table}_params").foreach { t =>
+    indexTables(table).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      val loc = new java.io.File(warehouseDir(spark), t)
       if (loc.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -107,6 +107,7 @@ object Dedup {
         rm(loc)
       }
     }
+    java.nio.file.Files.deleteIfExists(compactMarker(spark, table))
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
       .select(col("id"), col("band"), col("h"), lit(0L).as("epoch"))
     b.write.mode("overwrite").bucketBy(nBuckets, "band", "h")
@@ -114,18 +115,41 @@ object Dedup {
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))
       .select(col("band"), col("h"), col("n_corpus"), lit(0L).as("epoch"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_counts")
-    Seq((bands, rowsPerBand, nBuckets))
-      .toDF("bands", "rows_per_band", "n_buckets")
+    Seq((bands, rowsPerBand, nBuckets, -1L))
+      .toDF("bands", "rows_per_band", "n_buckets", "max_folded_epoch")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_params")
   }
 
+  /** The index's table triple plus the compaction stage names a crashed
+    * maintenance run can leave behind. */
+  private def indexTables(table: String): Seq[String] =
+    Seq("", "_counts", "_params").flatMap(s =>
+      Seq(s"$table$s", s"$table${s}_cstage"))
+
+  private def warehouseDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+
+  private def compactMarker(spark: org.apache.spark.sql.SparkSession,
+                            table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(warehouseDir(spark), s"_compact_pending_$table")
+
+  /** Params tables written before epoch compaction existed lack the
+    * max_folded_epoch column — read it tolerantly. */
+  private def maxFoldedOf(p: org.apache.spark.sql.Row): Long =
+    if (p.schema.fieldNames.contains("max_folded_epoch"))
+      p.getAs[Long]("max_folded_epoch")
+    else -1L
+
   /** Whether an epoch's rows have already landed in the index — the
     * replay guard (a Spark write job commits atomically, so an epoch is
-    * either fully present or absent). */
+    * either fully present or absent). Epochs folded away by
+    * `compactMinhashIndex` are still "in": their rows live on inside the
+    * baseline, so a replayed append must stay a no-op. */
   def epochInMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, epoch: Long): Boolean =
-    spark.table(s"${table}_counts").filter(col("epoch") === epoch)
-      .limit(1).count() > 0
+    epoch <= maxFoldedOf(spark.table(s"${table}_params").head()) ||
+      spark.table(s"${table}_counts").filter(col("epoch") === epoch)
+        .limit(1).count() > 0
 
   /** Fold an ACCEPTED shard into the index — the step after
     * `incrementalCandidates` admits it. Appends the shard's bucket rows
@@ -143,8 +167,8 @@ object Dedup {
     val (bands, rowsPerBand, nBuckets) = (p.getInt(0), p.getInt(1), p.getInt(2))
     val e =
       if (epoch >= 0L) epoch
-      else spark.table(s"${table}_counts")
-        .agg(max("epoch")).head().getLong(0) + 1L
+      else math.max(spark.table(s"${table}_counts")
+        .agg(max("epoch")).head().getLong(0), maxFoldedOf(p)) + 1L
     if (epoch >= 0L && epochInMinhashIndex(spark, table, e)) return
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
       .select(col("id"), col("band"), col("h"), lit(e).as("epoch"))
@@ -155,12 +179,97 @@ object Dedup {
       .write.mode("append").format("parquet").saveAsTable(s"${table}_counts")
   }
 
-  /** Reopen a written minhash index with the params it was built with. */
+  /** Reopen a written minhash index with the params it was built with.
+    * Finishes a compaction swap a crashed maintenance run left pending
+    * (same recover-on-next-touch contract as `Snapshots.compact`). */
   def openMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String): MinhashIndex = {
+    finishPendingIndexCompact(spark, table)
     val p = spark.table(s"${table}_params").head()
     MinhashIndex(spark.table(table), spark.table(s"${table}_counts"),
-      p.getInt(0), p.getInt(1))
+      p.getInt(0), p.getInt(1), maxFoldedOf(p))
+  }
+
+  /** Index maintenance — fold the epochs ingestion accumulated into ONE
+    * baseline. Every append writes its own epoch's files into the bucket
+    * table and one count row per touched key: at shard-per-hour ingestion
+    * the table becomes thousands of small files per bucket and the probe's
+    * counts semi-join reads k rows per key. Compaction rewrites both
+    * tables keeping the SAME bucket spec (the no-shuffle probe layout is
+    * preserved across the swap — plan-guarded in the spec) with all rows
+    * under baseline epoch = the max folded epoch id.
+    *
+    * Probe results are byte-identical before and after (spec-pinned,
+    * including combined-cap drops: counts are summed per key either way).
+    *
+    * Contract: single maintainer, ingestion QUIESCENT — no batch may be
+    * in flight, because a replay of a folded epoch can no longer exclude
+    * its own rows (`incrementalCandidates` fails loudly on that case).
+    * Committed-batch replays stay no-ops: `epochInMinhashIndex` counts
+    * folded epochs as present via params.max_folded_epoch.
+    *
+    * Crash safety: stage tables are written first (invisible — probes
+    * read only the live names), then an atomically-published marker makes
+    * the three-table swap recoverable; a crash anywhere inside it is
+    * finished by the next compact/open on the index. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String): Long =
+    compactMinhashIndexImpl(spark, table, crashBeforeSwap = false)
+
+  /** `crashBeforeSwap` is a test seam: throw after the marker publishes
+    * but before the swap — the worst crash point recovery must finish. */
+  private[graft] def compactMinhashIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      crashBeforeSwap: Boolean): Long = {
+    import spark.implicits._
+    finishPendingIndexCompact(spark, table)
+    val p = spark.table(s"${table}_params").head()
+    val (bands, rowsPerBand, nBuckets) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val baseline = spark.table(s"${table}_counts")
+      .agg(max("epoch")).head().getLong(0)
+    if (baseline <= maxFoldedOf(p)) return maxFoldedOf(p) // already compact
+    spark.table(table)
+      .select(col("id"), col("band"), col("h"), lit(baseline).as("epoch"))
+      .write.mode("overwrite").bucketBy(nBuckets, "band", "h")
+      .sortBy("band", "h").format("parquet").saveAsTable(s"${table}_cstage")
+    spark.table(s"${table}_counts")
+      .groupBy("band", "h").agg(sum("n_corpus").as("n_corpus"))
+      .select(col("band"), col("h"), col("n_corpus"), lit(baseline).as("epoch"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_counts_cstage")
+    Seq((bands, rowsPerBand, nBuckets, baseline))
+      .toDF("bands", "rows_per_band", "n_buckets", "max_folded_epoch")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_params_cstage")
+    val marker = compactMarker(spark, table)
+    val tmp = java.nio.file.Paths.get(marker.toString + ".tmp")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(tmp, table)
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (crashBeforeSwap)
+      throw new IllegalStateException("test crash seam: before index swap")
+    finishPendingIndexCompact(spark, table)
+    baseline
+  }
+
+  /** Complete a compaction swap: per table, drop the live name and rename
+    * the stage into it (managed-table rename moves the data directory),
+    * then clear the marker. Idempotent — a missing stage means that
+    * table's swap already happened. */
+  private def finishPendingIndexCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val marker = compactMarker(spark, table)
+    if (!java.nio.file.Files.exists(marker)) return
+    for (suffix <- Seq("", "_counts", "_params")) {
+      val (stage, dest) = (s"$table${suffix}_cstage", s"$table$suffix")
+      if (spark.catalog.tableExists(stage)) {
+        spark.sql(s"DROP TABLE IF EXISTS $dest")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $dest")
+      }
+    }
+    java.nio.file.Files.deleteIfExists(marker)
+    ()
   }
 
   /** Incremental LSH candidates: dedup a NEW shard against an already-
@@ -193,6 +302,14 @@ object Dedup {
     // append and the offset commit) — with its own epoch filtered out,
     // a replayed probe sees exactly the pre-append index state, so the
     // recomputed candidates are byte-identical
+    // an epoch folded by compaction can no longer be excluded — its rows
+    // are indistinguishable inside the baseline, so a replay that needs
+    // the pre-append state must fail loudly (compaction's quiescence
+    // contract was violated) rather than return silently wrong candidates
+    excludeEpoch.foreach(e => require(e > index.maxFoldedEpoch,
+      s"excludeEpoch=$e was folded by index compaction " +
+        s"(max_folded_epoch=${index.maxFoldedEpoch}); compact only while " +
+        "ingestion is quiescent"))
     val (idxBuckets, idxCounts) = excludeEpoch match {
       case Some(e) => (index.buckets.filter(col("epoch") =!= e),
         index.keyCounts.filter(col("epoch") =!= e))

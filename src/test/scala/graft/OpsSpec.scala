@@ -471,8 +471,9 @@ class OpsSpec extends AnyFunSuite {
   /** Drop a minhash-index table triple AND its managed-table dirs (a
     * failed prior run can leave the location without the catalog entry,
     * which blocks the next saveAsTable). */
-  private def dropMinhashIndex(name: String): Unit =
-    Seq(name, s"${name}_counts", s"${name}_params").foreach { t =>
+  private def dropMinhashIndex(name: String): Unit = {
+    Seq("", "_counts", "_params").flatMap(s =>
+      Seq(s"$name$s", s"$name${s}_cstage")).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val d = java.nio.file.Paths.get("spark-warehouse", t)
       if (java.nio.file.Files.exists(d)) {
@@ -481,6 +482,10 @@ class OpsSpec extends AnyFunSuite {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("spark-warehouse", s"_compact_pending_$name"))
+    ()
+  }
 
   test("incremental minhash: shard-vs-index candidates equal the full-corpus pairs touching the shard") {
     import spark.implicits._
@@ -606,11 +611,117 @@ class OpsSpec extends AnyFunSuite {
       assert(corpusShuffled(plain, "graft-test-mh-plain"),
         "plain layout should need a corpus-side shuffle under sort-merge — " +
           "if not, this guard is vacuous")
+      // epoch compaction rewrites the table through a stage + catalog
+      // rename: the bucket spec must survive the swap or every probe
+      // after maintenance silently regains the corpus-side shuffle
+      val extra = (2001L to 2020L).map(i =>
+        (i, s"alpha${i - 2000} beta${i - 2000} epsilon zeta eta")).toDF("doc_id", "text")
+      Dedup.appendToMinhashIndex(extra, "doc_id", "text", "mh_idx_plan", epoch = 1L)
+      Dedup.compactMinhashIndex(spark, "mh_idx_plan")
+      val compacted = Dedup.openMinhashIndex(spark, "mh_idx_plan")
+      assert(!corpusShuffled(compacted, "default.mh_idx_plan["),
+        "compaction lost the bucketed layout: corpus-side shuffle is back")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
     dropMinhashIndex("mh_idx_plan")
+  }
+
+  test("incremental minhash: epoch compaction folds history; probes, caps and replay guards unchanged") {
+    import spark.implicits._
+    val viral = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val clone = "november oscar papa quebec romeo sierra tango uniform victor"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // viral bucket split ACROSS epochs (8 in the build, 4 in the append):
+    // the combined cap of 15 trips only if compaction sums count rows per
+    // key correctly (8 + 4 corpus + 6 shard = 18 > 15)
+    val a = base.filter(col("doc_id") % 3 === 1)
+      .union((920001L to 920008L).map(i => (i, viral)).toDF("doc_id", "text"))
+    val b = base.filter(col("doc_id") % 3 === 2)
+      .union((920011L to 920014L).map(i => (i, viral)).toDF("doc_id", "text"))
+      .union(Seq((910001L, clone)).toDF("doc_id", "text"))
+    val shard = base.filter(col("doc_id") % 3 === 0)
+      .union((920021L to 920026L).map(i => (i, viral)).toDF("doc_id", "text"))
+      .union(Seq((910002L, clone)).toDF("doc_id", "text"))
+    dropMinhashIndex("mh_idx_cpt")
+    Dedup.writeMinhashIndex(a, "doc_id", "text", "mh_idx_cpt")
+    Dedup.appendToMinhashIndex(b, "doc_id", "text", "mh_idx_cpt", epoch = 1L)
+    def probe(acc: org.apache.spark.util.LongAccumulator) =
+      Dedup.incrementalCandidates(shard, "doc_id", "text",
+          Dedup.openMinhashIndex(spark, "mh_idx_cpt"),
+          maxBucket = 15, droppedRows = Some(acc))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val acc0 = spark.sparkContext.longAccumulator("pre")
+    val pairs0 = probe(acc0)
+    assert(pairs0.contains((910001L, 910002L)))
+    assert(!pairs0.exists(p => p._1 >= 920000L || p._2 >= 920000L),
+      "viral cross-epoch bucket leaked through the combined cap")
+    assert(acc0.value > 0)
+
+    assert(Dedup.compactMinhashIndex(spark, "mh_idx_cpt") == 1L)
+    // one epoch everywhere, one count row per key
+    val idx = Dedup.openMinhashIndex(spark, "mh_idx_cpt")
+    assert(idx.maxFoldedEpoch == 1L)
+    assert(idx.buckets.select("epoch").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(idx.keyCounts.groupBy("band", "h").count()
+      .filter(col("count") > 1).count() == 0, "counts not folded to one row per key")
+    // probe is byte-identical, including the drop accounting
+    val acc1 = spark.sparkContext.longAccumulator("post")
+    assert(probe(acc1) == pairs0)
+    assert(acc1.value == acc0.value)
+    // folded epochs still count as present: a replayed append is a no-op
+    assert(Dedup.epochInMinhashIndex(spark, "mh_idx_cpt", 0L))
+    assert(Dedup.epochInMinhashIndex(spark, "mh_idx_cpt", 1L))
+    val nRows = spark.table("mh_idx_cpt").count()
+    Dedup.appendToMinhashIndex(b, "doc_id", "text", "mh_idx_cpt", epoch = 1L)
+    assert(spark.table("mh_idx_cpt").count() == nRows, "replayed folded epoch re-appended")
+    // auto epoch numbering continues past the folded history
+    Dedup.appendToMinhashIndex(
+      Seq((930001L, "golf hotel india")).toDF("doc_id", "text"), "doc_id", "text", "mh_idx_cpt")
+    assert(spark.table("mh_idx_cpt_counts").agg(max("epoch")).head().getLong(0) == 2L)
+    // replay of a FOLDED epoch can't exclude its rows -> loud failure
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalCandidates(shard, "doc_id", "text",
+        Dedup.openMinhashIndex(spark, "mh_idx_cpt"), excludeEpoch = Some(1L))
+    }
+    assert(ex.getMessage.contains("folded by index compaction"))
+    // the auto-appended epoch 2 re-opens history: compaction folds it in,
+    // and only then is a further compact the cheap no-op
+    assert(Dedup.compactMinhashIndex(spark, "mh_idx_cpt") == 2L)
+    assert(Dedup.compactMinhashIndex(spark, "mh_idx_cpt") == 2L)
+    dropMinhashIndex("mh_idx_cpt")
+  }
+
+  test("incremental minhash: a crash inside the compaction swap is finished on next open") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val a = base.filter(col("doc_id") % 3 === 1)
+    val b = base.filter(col("doc_id") % 3 === 2)
+    val shard = base.filter(col("doc_id") % 3 === 0)
+    dropMinhashIndex("mh_idx_crash")
+    Dedup.writeMinhashIndex(a, "doc_id", "text", "mh_idx_crash")
+    Dedup.appendToMinhashIndex(b, "doc_id", "text", "mh_idx_crash", epoch = 1L)
+    def probe() = Dedup.incrementalCandidates(shard, "doc_id", "text",
+        Dedup.openMinhashIndex(spark, "mh_idx_crash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs0 = probe()
+    intercept[IllegalStateException] {
+      Dedup.compactMinhashIndexImpl(spark, "mh_idx_crash", crashBeforeSwap = true)
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("spark-warehouse", "_compact_pending_mh_idx_crash")))
+    // the next open finishes the swap and the probe is unchanged
+    assert(probe() == pairs0)
+    val idx = Dedup.openMinhashIndex(spark, "mh_idx_crash")
+    assert(idx.maxFoldedEpoch == 1L)
+    assert(!spark.catalog.tableExists("mh_idx_crash_cstage"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get("spark-warehouse", "_compact_pending_mh_idx_crash")))
+    dropMinhashIndex("mh_idx_crash")
   }
 
   test("x32 incremental dedup equals the x05 full-corpus pairs touching the shard") {
