@@ -115,6 +115,14 @@ object Demo {
       droppedRows = Some(incAcc)).count()
     println(s"[demo] incremental dedup: $nInc shard-touching candidate pairs " +
       s"vs the written index (combined-cap dropped rows: ${incAcc.value})")
+    // index maintenance: accept the shard as its own epoch, then fold the
+    // accumulated epochs into one baseline (count rows collapse to one per
+    // key; the bucketed no-shuffle probe layout survives the swap)
+    ops.Dedup.appendToMinhashIndex(raw.filter($"doc_id" % 5 === 0), "doc_id", "text", incTable)
+    val countRowsBefore = spark.table(s"${incTable}_counts").count()
+    val baselineEpoch = ops.Dedup.compactMinhashIndex(spark, incTable)
+    println(s"[demo] index compaction: epochs folded to baseline $baselineEpoch, " +
+      s"count rows $countRowsBefore -> ${spark.table(s"${incTable}_counts").count()}")
     // domain-level curation rollup: wholesale keep/drop per source
     val domains = SparkEntry.queries("t10_domain_stats")(spark, sfDir)
       .groupBy("decision").count().orderBy("decision")
@@ -131,6 +139,16 @@ object Demo {
     val asOf = io.Snapshots.asOf(spark, outDir, "demo-snap")
     println(s"[demo] as-of demo-snap: ${asOf.contracts.count()} contracts, " +
       s"${asOf.ledger.count()} ledger rows")
+    // snapshot maintenance: reprocess a slice as a second snapshot, then
+    // expire+rewrite history up to the first one — reads at or after the
+    // point are unchanged, the folded history becomes one baseline partition
+    pipeline.Pipeline.run(spark,
+      docs.filter(org.apache.spark.sql.functions.xxhash64($"doc_id") % 7 === 0),
+      outDir, "demo-snap-2")
+    val baseId = io.Snapshots.compact(spark, outDir, "demo-snap")
+    println(s"[demo] snapshot compaction: baseline $baseId, history now " +
+      io.Snapshots.list(outDir).map(_.snapshotId).mkString(" -> ") +
+      s", as-of latest: ${io.Snapshots.asOf(spark, outDir, "demo-snap-2").contracts.count()} contracts")
     spark.stop()
   }
 }
