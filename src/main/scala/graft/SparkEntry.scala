@@ -306,6 +306,27 @@ object SparkEntry {
       val served = ops.Ann.Ivf.openIndex(s, idxPath, "vec_id", "embedding")
       ops.Ann.Ivf.topKIndexed(served, q, 10, nProbe = 2)
     }),
+    // Served-index INGESTION: the index is built once on the existing
+    // corpus, new vectors arrive later and are assigned to the frozen
+    // centroids (one narrow pass, no retrain, no corpus read), landing as
+    // epoch partitions under each cell — probes stay partition-pruned and
+    // see the appended vectors. Value-equal to rebuilding with the same
+    // centroids over the union (spec-pinned), replay-idempotent.
+    "x34_ann_ivf_appended" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = queryVector(emb, dir)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x34_ivf_appended_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val base = corpus.filter(col("vec_id") % 5 =!= 0)
+      val shard = corpus.filter(col("vec_id") % 5 === 0)
+      ops.Ann.Ivf.writeIndex(
+        ops.Ann.Ivf.buildIndex(base, "vec_id", "embedding",
+          nlist = 8, sampleN = 400), idxPath)
+      ops.Ann.Ivf.appendToIndex(s, idxPath, shard, "embedding", epoch = 1L)
+      val served = ops.Ann.Ivf.openIndex(s, idxPath, "vec_id", "embedding")
+      ops.Ann.Ivf.topKIndexed(served, q, 10, nProbe = 2)
+    }),
     // The served BATCH k-NN shape: the corpus side of the similarity join
     // as a WRITTEN bucket table (partitionBy(tbl, bucket), cap baked in at
     // build), probed by a broadcast query batch through a partition-pruned

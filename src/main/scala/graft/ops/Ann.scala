@@ -205,13 +205,15 @@ object Ann {
     }
 
     /** Persist the index as the at-scale layout: the assigned corpus
-      * written PARTITIONED BY cell (each probe becomes a partition-pruned
-      * scan — Spark reads only the nProbe directories), centroids beside
-      * it as a small parquet. */
+      * written PARTITIONED BY (cell, epoch) — each probe becomes a
+      * partition-pruned scan (Spark reads only the nProbe cell
+      * directories; `epoch` is the ingestion level `appendToIndex` adds
+      * under each cell), centroids beside it as a small parquet. */
     def writeIndex(index: Index, path: String): Unit = {
       val spark = index.assigned.sparkSession
       import spark.implicits._
-      index.assigned.write.partitionBy("cell").mode("overwrite")
+      index.assigned.withColumn("epoch", lit(0L))
+        .write.partitionBy("cell", "epoch").mode("overwrite")
         .parquet(s"$path/cells")
       index.centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -219,17 +221,49 @@ object Ann {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     }
 
+    private[ops] def readCentroids(spark: SparkSession,
+                                   path: String): Array[Array[Double]] =
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+
+    /** Ingest new vectors into a WRITTEN index without retraining: one
+      * narrow assignment pass against the stored centroids (no shuffle, no
+      * corpus read), landing as `epoch=<epoch>` partitions under each
+      * touched cell. At 10^12 vectors this is the only affordable shape —
+      * rebuild cost is corpus-scale, append cost is shard-scale; probes
+      * prune on the top-level cell directories exactly as before.
+      *
+      * Idempotent by construction: dynamic partition overwrite replaces
+      * only this epoch's (cell, epoch) directories, so a replayed ingest
+      * rewrites itself byte-identically instead of duplicating rows (same
+      * contract as the pipeline's snapshot writes). Recall drifts as the
+      * corpus distribution moves away from the frozen centroids — retrain
+      * by rebuilding when cell-size skew warrants (`cellStats`). */
+    def appendToIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+                      vecCol: String, epoch: Long): Unit = {
+      require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+      assign(newVecs, vecCol, readCentroids(spark, path))
+        .withColumn("epoch", lit(epoch))
+        .write.partitionBy("cell", "epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/cells")
+    }
+
+    /** Per-cell row counts of a written index — the skew signal that
+      * decides when appended drift warrants a retrain/rebuild. */
+    def cellStats(spark: SparkSession, path: String): DataFrame =
+      spark.read.parquet(s"$path/cells").groupBy("cell")
+        .agg(count("*").as("n_rows")).orderBy("cell")
+
     /** Reopen a written index. Probing through `topKIndexed` on the result
       * is partition-pruned: the `cell` filter hits the directory layout
       * (PartitionFilters in the scan), so only nProbe/nlist of the data is
       * ever read — the IvfIndexSpec asserts this on the physical plan. */
     def openIndex(spark: SparkSession, path: String,
-                  idCol: String, vecCol: String): Index = {
-      val centroids = spark.read.parquet(s"$path/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-      Index(centroids, spark.read.parquet(s"$path/cells"), idCol, vecCol)
-    }
+                  idCol: String, vecCol: String): Index =
+      Index(readCentroids(spark, path),
+        spark.read.parquet(s"$path/cells"), idCol, vecCol)
 
     /** IVF top-k: exact cosine over the query's nProbe nearest cells only
       * (scanned fraction ~= nProbe/nlist of the corpus). One-shot form of
@@ -413,16 +447,8 @@ object Ann {
     }
 
     /** Reopen: (codes table, codebooks). */
-    def openIndex(spark: SparkSession, path: String): (DataFrame, Codebooks) = {
-      val cbDf = spark.read.parquet(s"$path/codebooks")
-        .orderBy("subspace", "centroid_id").collect()
-      val m = cbDf.map(_.getInt(0)).max + 1
-      val ksub = cbDf.map(_.getInt(1)).max + 1
-      val books = Array.ofDim[Array[Double]](m, ksub)
-      cbDf.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-      val dsub = books(0)(0).length
-      (spark.read.parquet(s"$path/codes"), Codebooks(m, dsub, ksub, books))
-    }
+    def openIndex(spark: SparkSession, path: String): (DataFrame, Codebooks) =
+      (spark.read.parquet(s"$path/codes"), readCodebooks(spark, path))
 
     /** IVF-PQ (faiss IndexIVFPQ composition): probe the query's nProbe
       * nearest IVF cells, then run the ADC shortlist + exact re-rank on
@@ -450,8 +476,8 @@ object Ann {
       val spark = index.assigned.sparkSession
       import spark.implicits._
       encode(index.assigned, index.vecCol, cb)
-        .select(col(index.idCol), col("cell"), col("code"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+        .select(col(index.idCol), col("cell"), col("code"), lit(0L).as("epoch"))
+        .write.partitionBy("cell", "epoch").mode("overwrite").parquet(s"$path/cells")
       index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -461,21 +487,40 @@ object Ann {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     }
 
-    /** Reopen a written IVF-PQ index. */
-    def openIvfPqIndex(spark: SparkSession, path: String,
-                       idCol: String): IvfPqIndex = {
-      val centroids = spark.read.parquet(s"$path/centroids")
-        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    private def readCodebooks(spark: SparkSession, path: String): Codebooks = {
       val cbDf = spark.read.parquet(s"$path/codebooks")
         .orderBy("subspace", "centroid_id").collect()
       val m = cbDf.map(_.getInt(0)).max + 1
       val ksub = cbDf.map(_.getInt(1)).max + 1
       val books = Array.ofDim[Array[Double]](m, ksub)
       cbDf.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-      val dsub = books(0)(0).length
-      IvfPqIndex(centroids, spark.read.parquet(s"$path/cells"),
-        Codebooks(m, dsub, ksub, books), idCol)
+      Codebooks(m, books(0)(0).length, ksub, books)
     }
+
+    /** Ingest new vectors into a WRITTEN IVF-PQ index without retraining:
+      * assign to the stored IVF centroids + encode with the stored PQ
+      * codebooks (two narrow passes, no shuffle, no corpus read), landing
+      * as this epoch's partitions under each touched cell — dynamic
+      * partition overwrite makes a replayed ingest rewrite itself instead
+      * of duplicating rows. The frozen-quantizer drift caveat of
+      * `Ivf.appendToIndex` applies to both levels here. */
+    def appendToIvfPqIndex(spark: SparkSession, path: String,
+                           newVecs: DataFrame, idCol: String, vecCol: String,
+                           epoch: Long): Unit = {
+      require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+      val assigned = Ivf.assign(newVecs, vecCol, Ivf.readCentroids(spark, path))
+      encode(assigned, vecCol, readCodebooks(spark, path))
+        .select(col(idCol), col("cell"), col("code"), lit(epoch).as("epoch"))
+        .write.partitionBy("cell", "epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/cells")
+    }
+
+    /** Reopen a written IVF-PQ index. */
+    def openIvfPqIndex(spark: SparkSession, path: String,
+                       idCol: String): IvfPqIndex =
+      IvfPqIndex(Ivf.readCentroids(spark, path),
+        spark.read.parquet(s"$path/cells"), readCodebooks(spark, path), idCol)
 
     /** Served IVF-PQ top-k: driver-side probe-cell choice → the cell
       * filter hits the directory layout (PartitionFilters) → ADC over

@@ -289,6 +289,102 @@ class OpsSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("IVF append: frozen-centroid ingestion equals a rebuild over the union; replay idempotent; still pruned") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val base = embOf(1L to 300L)
+    val shard = embOf(301L to 400L)
+    val dir = "/tmp/graft-test-ivf-append"
+    val built = Ann.Ivf.buildIndex(base, "vec_id", "embedding", nlist = 8, sampleN = 400)
+    Ann.Ivf.writeIndex(built, dir)
+    Ann.Ivf.appendToIndex(spark, dir, shard, "embedding", epoch = 1L)
+    val opened = Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding")
+    // twin: SAME centroids (no retrain), assignment over the union
+    val twin = Ann.Ivf.Index(built.centroids,
+      Ann.Ivf.assign(base.union(shard), "embedding", built.centroids),
+      "vec_id", "embedding")
+    val want = Ann.Ivf.topKIndexed(twin, qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val servedDf = Ann.Ivf.topKIndexed(opened, qv, 10, nProbe = 2)
+    val got = servedDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.exists(_._1 > 300L), "no appended vector reached the top-k — parity check is vacuous")
+    // probes stay partition-pruned after the append
+    val p = servedDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // a replayed ingest rewrites its own epoch partitions, never duplicates
+    val n1 = spark.read.parquet(s"$dir/cells").count()
+    Ann.Ivf.appendToIndex(spark, dir, shard, "embedding", epoch = 1L)
+    assert(spark.read.parquet(s"$dir/cells").count() == n1, "replayed append duplicated rows")
+    assert(Ann.Ivf.topKIndexed(Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding"),
+      qv, 10, nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+    // cell stats expose the drift/skew signal over base + appended rows
+    assert(Ann.Ivf.cellStats(spark, dir).agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head().getLong(0) == 400L)
+    // the base build is epoch 0; appends must claim a positive epoch
+    intercept[IllegalArgumentException] {
+      Ann.Ivf.appendToIndex(spark, dir, shard, "embedding", epoch = 0L)
+    }
+  }
+
+  test("IVF-PQ append: frozen centroids + codebooks encode the shard; served equals in-memory over the union") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val base = embOf(1L to 300L)
+    val shard = embOf(301L to 400L)
+    val all = base.union(shard)
+    val dir = "/tmp/graft-test-ivfpq-append"
+    val built = Ann.Ivf.buildIndex(base, "vec_id", "embedding", nlist = 8, sampleN = 400)
+    val cb = Ann.Pq.train(base, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 400)
+    Ann.Pq.writeIvfPqIndex(built, cb, dir)
+    Ann.Pq.appendToIvfPqIndex(spark, dir, shard, "vec_id", "embedding", epoch = 1L)
+    val idx = Ann.Pq.openIvfPqIndex(spark, dir, "vec_id")
+    // twin: same centroids AND codebooks, in-memory over the union
+    val twin = Ann.Ivf.Index(built.centroids,
+      Ann.Ivf.assign(all, "embedding", built.centroids), "vec_id", "embedding")
+    val want = Ann.Pq.topKIvf(twin, cb, qv, 5, nProbe = 2, refine = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Ann.Pq.topKIvfServed(idx, all, "vec_id", "embedding", qv, 5,
+        nProbe = 2, refine = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // replay idempotency on the codes table
+    val n1 = spark.read.parquet(s"$dir/cells").count()
+    Ann.Pq.appendToIvfPqIndex(spark, dir, shard, "vec_id", "embedding", epoch = 1L)
+    assert(spark.read.parquet(s"$dir/cells").count() == n1, "replayed append duplicated codes")
+  }
+
+  test("x34 served IVF ingestion: appended index answers equal a frozen-centroid rebuild over the union") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val centroids = Ann.Ivf.trainCentroids(base, "vec_id", "embedding",
+      nlist = 8, sampleN = 400)
+    val twin = Ann.Ivf.Index(centroids,
+      Ann.Ivf.assign(corpus, "embedding", centroids), "vec_id", "embedding")
+    val want = Ann.Ivf.topKIndexed(twin, q, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = SparkEntry.queries("x34_ann_ivf_appended")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("x25 served ANN: persisted partition-pruned index answers equal the in-memory x14 path") {
     // build-once/query-many: the driver-facing x25 writes the IVF index,
     // reopens it from disk, and probes through the pruned scan — its
