@@ -170,8 +170,15 @@ object Dedup {
       else math.max(spark.table(s"${table}_counts")
         .agg(max("epoch")).head().getLong(0), maxFoldedOf(p)) + 1L
     if (epoch >= 0L && epochInMinhashIndex(spark, table, e)) return
+    // materialize the shard's bucket rows ONCE before either write: the
+    // bucket write and the counts write are separate jobs, and a lazy plan
+    // would re-evaluate `docs` for the second — if `docs` derives from
+    // this very table (e.g. IndexRefresh's already-indexed anti-join), the
+    // recomputation would see the rows the first job just appended and
+    // write an inconsistent (here: empty) counts epoch
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
       .select(col("id"), col("band"), col("h"), lit(e).as("epoch"))
+      .localCheckpoint()
     b.write.mode("append").bucketBy(nBuckets, "band", "h")
       .sortBy("band", "h").format("parquet").saveAsTable(table)
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))

@@ -220,6 +220,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.io.Snapshots.compact(spark, out, "snap-b") == "compact-snap-b")
   }
 
+  test("changes-feed index refresh: the snapshot delta folds into the minhash index as one epoch") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val clone = "quixotic zephyr brambles of verdigris atop the waning citadel walls"
+    // source of truth for raw text: id space equals the snapshot's doc ids
+    val source = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+      .union(Seq(("doc-999001", clone)).toDF("doc_id", "text"))
+    val inA = xxhash64(col("doc_id")) % 3 =!= 0
+    val a = docs.filter(inA)
+    // snapshot B: the remaining docs (NEW), a reprocessed slice of A, and
+    // a planted clone doc whose only near-dup arrives later as a probe
+    val b = docs.filter(!inA)
+      .union(docs.filter(inA && xxhash64(col("doc_id")) % 5 === 0))
+      .union(Seq(Corpus.synth(999001L, clone)).toDS())
+    Pipeline.run(spark, a, out, "snap-a")
+    Pipeline.run(spark, b, out, "snap-b")
+    // base index = snapshot A's doc set
+    val table = "graft_refresh_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Seq(table, s"${table}_counts", s"${table}_params").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.ops.Dedup.writeMinhashIndex(
+      source.join(a.select(col("doc_id").as("_aid")),
+        col("doc_id") === col("_aid"), "left_semi"),
+      "doc_id", "text", table)
+    val r = graft.pipeline.IndexRefresh.minhashFromChanges(
+      spark, out, "snap-a", "snap-b", source, "doc_id", "text", table)
+    assert(!r.alreadyRefreshed)
+    assert(r.epoch == 1L, s"epoch should be snap-b's seq: ${r.epoch}")
+    val nNew = docs.filter(!inA).count() + 1 // + the planted clone doc
+    val nRep = docs.filter(inA && xxhash64(col("doc_id")) % 5 === 0).count()
+    assert(r.appended == nNew, s"appended=${r.appended} want=$nNew")
+    assert(r.skippedExisting == nRep, s"skipped=${r.skippedExisting} want=$nRep")
+    // the refreshed index finds a probe's near-dup among the DELTA docs
+    val probe = Seq(("doc-999002", clone)).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.incrementalCandidates(probe, "doc_id", "text",
+        graft.ops.Dedup.openMinhashIndex(spark, table))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("doc-999001", "doc-999002")),
+      s"clone pair missing from refreshed index: $pairs")
+    // replay: exactly-once per snapshot — nothing touched
+    val nRows = spark.table(table).count()
+    val r2 = graft.pipeline.IndexRefresh.minhashFromChanges(
+      spark, out, "snap-a", "snap-b", source, "doc_id", "text", table)
+    assert(r2.alreadyRefreshed && r2.appended == 0L)
+    assert(spark.table(table).count() == nRows)
+    Seq(table, s"${table}_counts", s"${table}_params").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pending: a doc whose LATEST snapshot errored is reprocessed despite an older ok record") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-stale").toString
