@@ -108,11 +108,16 @@ object Dedup {
       }
     }
     java.nio.file.Files.deleteIfExists(compactMarker(spark, table))
-    val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
+    bucketRows(docs, idCol, textCol, bands, rowsPerBand)
       .select(col("id"), col("band"), col("h"), lit(0L).as("epoch"))
-    b.write.mode("overwrite").bucketBy(nBuckets, "band", "h")
+      .write.mode("overwrite").bucketBy(nBuckets, "band", "h")
       .sortBy("band", "h").format("parquet").saveAsTable(table)
-    b.groupBy("band", "h").agg(count("*").as("n_corpus"))
+    // counts derive from the WRITTEN index, not a re-evaluation of the
+    // lazy plan: the build's expensive pass (full-text shingling) runs
+    // once, and the re-read is a narrow 3-longs-per-row columnar scan of
+    // the index itself — at corpus scale that is the difference between
+    // one and two passes over the text
+    spark.table(table).groupBy("band", "h").agg(count("*").as("n_corpus"))
       .select(col("band"), col("h"), col("n_corpus"), lit(0L).as("epoch"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_counts")
     Seq((bands, rowsPerBand, nBuckets, -1L))
