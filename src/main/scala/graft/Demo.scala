@@ -123,6 +123,24 @@ object Demo {
     val baselineEpoch = ops.Dedup.compactMinhashIndex(spark, incTable)
     println(s"[demo] index compaction: epochs folded to baseline $baselineEpoch, " +
       s"count rows $countRowsBefore -> ${spark.table(s"${incTable}_counts").count()}")
+    // served ANN maintenance: same epoch-fold story for the vector index —
+    // shard vectors land as epoch partitions under frozen centroids, then
+    // compaction rewrites each cell to one baseline partition (answers
+    // byte-identical, probes stay partition-pruned)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val annDir = s"$outDir/ann_ivf"
+    val annIdx = ops.Ann.Ivf.buildIndex(emb.filter($"vec_id" % 5 =!= 0 && $"vec_id" =!= 0),
+      "vec_id", "embedding", nlist = 8, sampleN = 400)
+    ops.Ann.Ivf.writeIndex(annIdx, annDir)
+    ops.Ann.Ivf.appendToIndex(spark, annDir,
+      emb.filter($"vec_id" % 5 === 0 && $"vec_id" =!= 0), "embedding", epoch = 1L)
+    val annBaseline = ops.Ann.Ivf.compactIndex(spark, annDir)
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val topIds = ops.Ann.Ivf.topKIndexed(
+        ops.Ann.Ivf.openIndex(spark, annDir, "vec_id", "embedding"), qv, 5, nProbe = 2)
+      .collect().map(_.getLong(0)).mkString(" ")
+    println(s"[demo] ANN index compaction: epochs folded to baseline $annBaseline; " +
+      s"top-5 for vec 0: $topIds")
     // domain-level curation rollup: wholesale keep/drop per source
     val domains = SparkEntry.queries("t10_domain_stats")(spark, sfDir)
       .groupBy("decision").count().orderBy("decision")

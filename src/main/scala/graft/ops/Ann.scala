@@ -47,6 +47,106 @@ object Ann {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
   }
 
+  /** Shared maintenance for the (cell, epoch)-partitioned `cells/` layout
+    * both served index families write (IVF vectors, IVF-PQ codes): fold
+    * the epochs ingestion accumulated into ONE baseline partition per
+    * cell. Every append lands at least one file per touched cell, so at
+    * shard-per-hour ingestion each cell becomes thousands of small files;
+    * compaction rewrites the directory with all rows under baseline epoch
+    * = the max folded epoch id — probes prune on the unchanged top-level
+    * cell directories, answers are byte-identical (spec-pinned).
+    *
+    * Replay interlock: `_max_folded` beside the data records the fold
+    * point, and the append paths refuse an epoch at or below it — a
+    * replayed ingest of a folded epoch would otherwise dynamically
+    * overwrite baseline partitions with just the shard (compact only
+    * while ingestion is quiescent; committed-batch replays are the last
+    * batch only, and that is exactly the loud case).
+    *
+    * Crash safety: the staged rewrite is invisible (`cells_stage`), an
+    * atomically-published `_compact_pending` marker makes the directory
+    * swap recoverable, and open paths finish a crashed swap. */
+  private[graft] object CellsMaintenance {
+
+    def maxFolded(path: String): Long = {
+      val f = java.nio.file.Paths.get(path, "_max_folded")
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.readString(f).trim.toLong
+      else -1L
+    }
+
+    def requireAppendable(path: String, epoch: Long): Unit = {
+      finishPending(path)
+      val mf = maxFolded(path)
+      require(epoch > mf,
+        s"epoch $epoch was folded by index compaction (max folded: $mf); " +
+          "compact only while ingestion is quiescent")
+    }
+
+    def compact(spark: SparkSession, path: String,
+                crashBeforeSwap: Boolean): Long = {
+      finishPending(path)
+      val cells = spark.read.parquet(s"$path/cells")
+      // partition-column inference reads `epoch=N` back as INT — cast
+      val baseline = cells.agg(max(col("epoch").cast("long"))).head().getLong(0)
+      if (baseline <= math.max(0L, maxFolded(path))) return maxFolded(path)
+      cells.withColumn("epoch", lit(baseline))
+        .write.partitionBy("cell", "epoch").mode("overwrite")
+        .parquet(s"$path/cells_stage")
+      val marker = java.nio.file.Paths.get(path, "_compact_pending")
+      val tmp = java.nio.file.Paths.get(path, "_compact_pending.tmp")
+      java.nio.file.Files.writeString(tmp, baseline.toString)
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (crashBeforeSwap)
+        throw new IllegalStateException("test crash seam: before cells swap")
+      finishPending(path)
+      baseline
+    }
+
+    /** A REBUILD starts maintenance history over: drop the fold point, a
+      * pending marker, and any staged rewrite — otherwise the fresh index
+      * would refuse early epochs or resurrect a dead stage over new
+      * data. Called by the write paths before the base write. */
+    def reset(path: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, "_max_folded"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, "_compact_pending"))
+      val stage = java.nio.file.Paths.get(path, "cells_stage")
+      if (java.nio.file.Files.exists(stage)) {
+        java.nio.file.Files.walk(stage)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      }
+    }
+
+    /** Finish a compaction swap: retire the live cells dir, promote the
+      * stage, record the fold point, clear the marker. Idempotent. */
+    def finishPending(path: String): Unit = {
+      val marker = java.nio.file.Paths.get(path, "_compact_pending")
+      if (!java.nio.file.Files.exists(marker)) return
+      val baseline = java.nio.file.Files.readString(marker).trim.toLong
+      val live = java.nio.file.Paths.get(path, "cells")
+      val stage = java.nio.file.Paths.get(path, "cells_stage")
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        }
+      if (java.nio.file.Files.exists(stage)) {
+        rmTree(live)
+        java.nio.file.Files.move(stage, live)
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_max_folded"), baseline.toString)
+      java.nio.file.Files.deleteIfExists(marker)
+      ()
+    }
+  }
+
   /** Brute-force top-k for one query vector (broadcast the 1-row query). */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
@@ -212,6 +312,7 @@ object Ann {
     def writeIndex(index: Index, path: String): Unit = {
       val spark = index.assigned.sparkSession
       import spark.implicits._
+      CellsMaintenance.reset(path)
       index.assigned.withColumn("epoch", lit(0L))
         .write.partitionBy("cell", "epoch").mode("overwrite")
         .parquet(s"$path/cells")
@@ -243,6 +344,7 @@ object Ann {
     def appendToIndex(spark: SparkSession, path: String, newVecs: DataFrame,
                       vecCol: String, epoch: Long): Unit = {
       require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+      CellsMaintenance.requireAppendable(path, epoch)
       assign(newVecs, vecCol, readCentroids(spark, path))
         .withColumn("epoch", lit(epoch))
         .write.partitionBy("cell", "epoch")
@@ -256,14 +358,22 @@ object Ann {
       spark.read.parquet(s"$path/cells").groupBy("cell")
         .agg(count("*").as("n_rows")).orderBy("cell")
 
+    /** Fold the index's ingestion epochs into one baseline partition per
+      * cell (see `CellsMaintenance` for the contract). Returns the
+      * baseline epoch id. */
+    def compactIndex(spark: SparkSession, path: String): Long =
+      CellsMaintenance.compact(spark, path, crashBeforeSwap = false)
+
     /** Reopen a written index. Probing through `topKIndexed` on the result
       * is partition-pruned: the `cell` filter hits the directory layout
       * (PartitionFilters in the scan), so only nProbe/nlist of the data is
       * ever read — the IvfIndexSpec asserts this on the physical plan. */
     def openIndex(spark: SparkSession, path: String,
-                  idCol: String, vecCol: String): Index =
+                  idCol: String, vecCol: String): Index = {
+      CellsMaintenance.finishPending(path)
       Index(readCentroids(spark, path),
         spark.read.parquet(s"$path/cells"), idCol, vecCol)
+    }
 
     /** IVF top-k: exact cosine over the query's nProbe nearest cells only
       * (scanned fraction ~= nProbe/nlist of the corpus). One-shot form of
@@ -475,6 +585,7 @@ object Ann {
     def writeIvfPqIndex(index: Ivf.Index, cb: Codebooks, path: String): Unit = {
       val spark = index.assigned.sparkSession
       import spark.implicits._
+      CellsMaintenance.reset(path)
       encode(index.assigned, index.vecCol, cb)
         .select(col(index.idCol), col("cell"), col("code"), lit(0L).as("epoch"))
         .write.partitionBy("cell", "epoch").mode("overwrite").parquet(s"$path/cells")
@@ -508,6 +619,7 @@ object Ann {
                            newVecs: DataFrame, idCol: String, vecCol: String,
                            epoch: Long): Unit = {
       require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+      CellsMaintenance.requireAppendable(path, epoch)
       val assigned = Ivf.assign(newVecs, vecCol, Ivf.readCentroids(spark, path))
       encode(assigned, vecCol, readCodebooks(spark, path))
         .select(col(idCol), col("cell"), col("code"), lit(epoch).as("epoch"))
@@ -516,11 +628,18 @@ object Ann {
         .mode("overwrite").parquet(s"$path/cells")
     }
 
+    /** Fold the codes table's ingestion epochs into one baseline partition
+      * per cell (see `CellsMaintenance`). Returns the baseline epoch id. */
+    def compactIvfPqIndex(spark: SparkSession, path: String): Long =
+      CellsMaintenance.compact(spark, path, crashBeforeSwap = false)
+
     /** Reopen a written IVF-PQ index. */
     def openIvfPqIndex(spark: SparkSession, path: String,
-                       idCol: String): IvfPqIndex =
+                       idCol: String): IvfPqIndex = {
+      CellsMaintenance.finishPending(path)
       IvfPqIndex(Ivf.readCentroids(spark, path),
         spark.read.parquet(s"$path/cells"), readCodebooks(spark, path), idCol)
+    }
 
     /** Served IVF-PQ top-k: driver-side probe-cell choice → the cell
       * filter hits the directory layout (PartitionFilters) → ADC over

@@ -367,6 +367,129 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/cells").count() == n1, "replayed append duplicated codes")
   }
 
+  test("IVF compaction: epochs fold to one baseline per cell, answers byte-identical, folded replays refused") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val dir = "/tmp/graft-test-ivf-compact"
+    val built = Ann.Ivf.buildIndex(embOf(1L to 300L), "vec_id", "embedding", nlist = 8, sampleN = 400)
+    Ann.Ivf.writeIndex(built, dir)
+    Ann.Ivf.appendToIndex(spark, dir, embOf(301L to 350L), "embedding", epoch = 1L)
+    Ann.Ivf.appendToIndex(spark, dir, embOf(351L to 400L), "embedding", epoch = 2L)
+    def answers() = Ann.Ivf.topKIndexed(
+        Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding"), qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = answers()
+    assert(Ann.Ivf.compactIndex(spark, dir) === 2L)
+    assert(answers() === want)
+    // every cell directory folded to exactly the baseline epoch partition
+    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "cells"))
+      .filter(p => p.getFileName.toString.startsWith("cell=")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val epochs = java.nio.file.Files.list(cd)
+        .filter(p => p.getFileName.toString.startsWith("epoch=")).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      assert(epochs === Seq("epoch=2"), s"$cd not folded: $epochs")
+    }
+    // probes stay partition-pruned over the compacted layout
+    val p = Ann.Ivf.topKIndexed(Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding"),
+      qv, 10, nProbe = 2).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // a replayed ingest of a folded epoch would overwrite baseline partitions
+    // with just the shard — the fold point makes that loud
+    val e = intercept[IllegalArgumentException] {
+      Ann.Ivf.appendToIndex(spark, dir, embOf(301L to 350L), "embedding", epoch = 2L)
+    }
+    assert(e.getMessage.contains("folded"))
+    // ingestion continues past the fold point; a second compaction folds it in
+    Ann.Ivf.appendToIndex(spark, dir, embOf(401L to 420L), "embedding", epoch = 3L)
+    val twin = Ann.Ivf.Index(built.centroids,
+      Ann.Ivf.assign(embOf(1L to 420L), "embedding", built.centroids), "vec_id", "embedding")
+    val wantAll = Ann.Ivf.topKIndexed(twin, qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(answers() === wantAll)
+    assert(Ann.Ivf.compactIndex(spark, dir) === 3L)
+    assert(answers() === wantAll)
+    // an idle compaction (nothing newer than the fold point) is a no-op
+    assert(Ann.Ivf.compactIndex(spark, dir) === 3L)
+    // a REBUILD resets maintenance history: early epochs are appendable again
+    Ann.Ivf.writeIndex(built, dir)
+    Ann.Ivf.appendToIndex(spark, dir, embOf(301L to 350L), "embedding", epoch = 1L)
+  }
+
+  test("IVF compaction crash seam: a crash between stage and swap recovers on the next open") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val dir = "/tmp/graft-test-ivf-compact-crash"
+    val built = Ann.Ivf.buildIndex(embOf(1L to 300L), "vec_id", "embedding", nlist = 8, sampleN = 400)
+    Ann.Ivf.writeIndex(built, dir)
+    Ann.Ivf.appendToIndex(spark, dir, embOf(301L to 400L), "embedding", epoch = 1L)
+    val want = Ann.Ivf.topKIndexed(
+        Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding"), qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    intercept[IllegalStateException] {
+      Ann.CellsMaintenance.compact(spark, dir, crashBeforeSwap = true)
+    }
+    // crashed mid-compaction: marker + staged rewrite are on disk, live untouched
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_compact_pending")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cells_stage")))
+    // the next open finishes the swap and answers are unchanged
+    val got = Ann.Ivf.topKIndexed(
+        Ann.Ivf.openIndex(spark, dir, "vec_id", "embedding"), qv, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_compact_pending")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cells_stage")))
+    assert(Ann.CellsMaintenance.maxFolded(dir) === 1L)
+    // the fold point survives the crash-recovery path too
+    intercept[IllegalArgumentException] {
+      Ann.Ivf.appendToIndex(spark, dir, embOf(301L to 400L), "embedding", epoch = 1L)
+    }
+  }
+
+  test("IVF-PQ compaction: codes fold to one baseline per cell; served answers unchanged; folded replays refused") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    val qv = rand(424242L)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val base = embOf(1L to 300L)
+    val all = embOf(1L to 400L)
+    val dir = "/tmp/graft-test-ivfpq-compact"
+    val built = Ann.Ivf.buildIndex(base, "vec_id", "embedding", nlist = 8, sampleN = 400)
+    val cb = Ann.Pq.train(base, "vec_id", "embedding", dim, m = 4, ksub = 16, sampleN = 400)
+    Ann.Pq.writeIvfPqIndex(built, cb, dir)
+    Ann.Pq.appendToIvfPqIndex(spark, dir, embOf(301L to 400L), "vec_id", "embedding", epoch = 1L)
+    def served() = Ann.Pq.topKIvfServed(Ann.Pq.openIvfPqIndex(spark, dir, "vec_id"),
+        all, "vec_id", "embedding", qv, 5, nProbe = 2, refine = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = served()
+    assert(Ann.Pq.compactIvfPqIndex(spark, dir) === 1L)
+    assert(served() === want)
+    intercept[IllegalArgumentException] {
+      Ann.Pq.appendToIvfPqIndex(spark, dir, embOf(301L to 400L), "vec_id", "embedding", epoch = 1L)
+    }
+    Ann.Pq.appendToIvfPqIndex(spark, dir, embOf(401L to 420L), "vec_id", "embedding", epoch = 2L)
+    assert(spark.read.parquet(s"$dir/cells").count() === 420L)
+  }
+
   test("x34 served IVF ingestion: appended index answers equal a frozen-centroid rebuild over the union") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
