@@ -24,7 +24,10 @@ object PlanCheck {
                   // and the bloom-prefiltered decontamination
                   "d04_banded_pairs", "d13_simhash_pairs",
                   "x31_knn_join_served", "x32_incremental_dedup",
-                  "x33_decontaminate_bloom")) {
+                  "x33_decontaminate_bloom",
+                  // epoch-appended served k-NN corpus (probe-time cap,
+                  // DPP must survive the appended layout)
+                  "x35_knn_join_appended")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -328,20 +328,42 @@ object SparkEntry {
       ops.Ann.Ivf.topKIndexed(served, q, 10, nProbe = 2)
     }),
     // The served BATCH k-NN shape: the corpus side of the similarity join
-    // as a WRITTEN bucket table (partitionBy(tbl, bucket), cap baked in at
-    // build), probed by a broadcast query batch through a partition-pruned
-    // scan — value-equal to the in-memory x21 rebucketing form
-    // (spec-pinned, incl. a pruning assertion on the bucket scan).
+    // as a WRITTEN bucket table (partitionBy(tbl, bucket, epoch), with
+    // per-key counts beside it — the viral-bucket cap applies at probe
+    // time from the counts, so ingestion epochs stay rebuild-exact),
+    // probed by a broadcast query batch through a partition-pruned scan —
+    // value-equal to the in-memory x21 rebucketing form (spec-pinned,
+    // incl. a pruning assertion on the bucket scan).
     "x31_knn_join_served" -> ((s: SparkSession, dir: String) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_x31_knn_corpus_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       val acc = s.sparkContext.longAccumulator("x31_dropped_rows")
       ops.Ann.writeKnnCorpus(emb, "vec_id", "embedding", idxPath,
-        dim = 64, nBits = 8, nTables = 4, droppedRows = Some(acc))
+        dim = 64, nBits = 8, nTables = 4)
       val served = ops.Ann.openKnnCorpus(s, idxPath)
       ops.Ann.knnJoinServed(served, emb.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 3)
+          "vec_id", "embedding", k = 3, droppedRows = Some(acc))
+        .withColumn("dropped_rows", lit(acc.value))
+        .orderBy("query_id", "neighbor_id")
+    }),
+    // Served k-NN corpus INGESTION: 80% of the corpus written as the base
+    // build, the rest folded in as an epoch append (bucketed with the
+    // STORED planes — no corpus reprocess); the probe over the appended
+    // corpus is value-equal to x31's single-build form over the same
+    // vectors (spec-pinned) — including the combined probe-time cap.
+    "x35_knn_join_appended" -> ((s: SparkSession, dir: String) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x35_knn_appended_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val acc = s.sparkContext.longAccumulator("x35_dropped_rows")
+      ops.Ann.writeKnnCorpus(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", idxPath, dim = 64, nBits = 8, nTables = 4)
+      ops.Ann.appendToKnnCorpus(s, idxPath,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", epoch = 1L)
+      val served = ops.Ann.openKnnCorpus(s, idxPath)
+      ops.Ann.knnJoinServed(served, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, droppedRows = Some(acc))
         .withColumn("dropped_rows", lit(acc.value))
         .orderBy("query_id", "neighbor_id")
     }),

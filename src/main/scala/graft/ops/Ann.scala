@@ -68,6 +68,22 @@ object Ann {
     * swap recoverable, and open paths finish a crashed swap. */
   private[graft] object CellsMaintenance {
 
+    /** One epoch-partitioned dataset under an index root: its directory
+      * name, partition columns (epoch last), and how its rows fold into
+      * the baseline — a relabel for data rows, a re-aggregate for count
+      * rows. */
+    case class EpochDir(dir: String, partitionCols: Seq[String],
+                        fold: (DataFrame, Long) => DataFrame)
+
+    /** Plain data rows: folding just relabels the epoch. */
+    def relabel(dir: String, partitionCols: Seq[String]): EpochDir =
+      EpochDir(dir, partitionCols,
+        (df, b) => df.withColumn("epoch", lit(b)))
+
+    /** The layout both served ANN families share (IVF vectors, IVF-PQ
+      * codes): one `cells/` dataset partitioned (cell, epoch). */
+    val cells: Seq[EpochDir] = Seq(relabel("cells", Seq("cell", "epoch")))
+
     def maxFolded(path: String): Long = {
       val f = java.nio.file.Paths.get(path, "_max_folded")
       if (java.nio.file.Files.exists(f))
@@ -75,24 +91,36 @@ object Ann {
       else -1L
     }
 
-    def requireAppendable(path: String, epoch: Long): Unit = {
-      finishPending(path)
+    def requireAppendable(path: String, epoch: Long,
+                          dirs: Seq[EpochDir] = cells): Unit = {
+      finishPending(path, dirs)
       val mf = maxFolded(path)
       require(epoch > mf,
         s"epoch $epoch was folded by index compaction (max folded: $mf); " +
           "compact only while ingestion is quiescent")
     }
 
-    def compact(spark: SparkSession, path: String,
-                crashBeforeSwap: Boolean): Long = {
-      finishPending(path)
-      val cells = spark.read.parquet(s"$path/cells")
-      // partition-column inference reads `epoch=N` back as INT — cast
-      val baseline = cells.agg(max(col("epoch").cast("long"))).head().getLong(0)
+    def compact(spark: SparkSession, path: String, crashBeforeSwap: Boolean,
+                dirs: Seq[EpochDir] = cells): Long = {
+      finishPending(path, dirs)
+      // partition-column inference reads `epoch=N` back as INT — cast.
+      // Every dataset must agree on the max epoch: a crash between an
+      // append's paired writes leaves a partial epoch, and folding it
+      // would bake the inconsistency into the baseline forever — the
+      // interrupted ingest must be replayed (idempotent) first.
+      val maxes = dirs.map(d => spark.read.parquet(s"$path/${d.dir}")
+        .agg(max(col("epoch").cast("long"))).head().getLong(0))
+      require(maxes.distinct.size == 1,
+        s"partial epoch across ${dirs.map(_.dir).mkString(", ")} " +
+          s"(max epochs: ${maxes.mkString(", ")}); replay the interrupted " +
+          "ingest before compacting")
+      val baseline = maxes.head
       if (baseline <= math.max(0L, maxFolded(path))) return maxFolded(path)
-      cells.withColumn("epoch", lit(baseline))
-        .write.partitionBy("cell", "epoch").mode("overwrite")
-        .parquet(s"$path/cells_stage")
+      dirs.foreach { d =>
+        d.fold(spark.read.parquet(s"$path/${d.dir}"), baseline)
+          .write.partitionBy(d.partitionCols: _*).mode("overwrite")
+          .parquet(s"$path/${d.dir}_stage")
+      }
       val marker = java.nio.file.Paths.get(path, "_compact_pending")
       val tmp = java.nio.file.Paths.get(path, "_compact_pending.tmp")
       java.nio.file.Files.writeString(tmp, baseline.toString)
@@ -100,7 +128,7 @@ object Ann {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       if (crashBeforeSwap)
         throw new IllegalStateException("test crash seam: before cells swap")
-      finishPending(path)
+      finishPending(path, dirs)
       baseline
     }
 
@@ -108,37 +136,42 @@ object Ann {
       * pending marker, and any staged rewrite — otherwise the fresh index
       * would refuse early epochs or resurrect a dead stage over new
       * data. Called by the write paths before the base write. */
-    def reset(path: String): Unit = {
+    def reset(path: String, dirs: Seq[EpochDir] = cells): Unit = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(path, "_max_folded"))
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(path, "_compact_pending"))
-      val stage = java.nio.file.Paths.get(path, "cells_stage")
-      if (java.nio.file.Files.exists(stage)) {
-        java.nio.file.Files.walk(stage)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      dirs.foreach { d =>
+        val stage = java.nio.file.Paths.get(path, s"${d.dir}_stage")
+        if (java.nio.file.Files.exists(stage)) {
+          java.nio.file.Files.walk(stage)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        }
       }
     }
 
-    /** Finish a compaction swap: retire the live cells dir, promote the
-      * stage, record the fold point, clear the marker. Idempotent. */
-    def finishPending(path: String): Unit = {
+    /** Finish a compaction swap: retire each live dataset dir, promote
+      * its stage, record the fold point, clear the marker. Idempotent —
+      * a missing stage means that dataset's swap already happened. */
+    def finishPending(path: String, dirs: Seq[EpochDir] = cells): Unit = {
       val marker = java.nio.file.Paths.get(path, "_compact_pending")
       if (!java.nio.file.Files.exists(marker)) return
       val baseline = java.nio.file.Files.readString(marker).trim.toLong
-      val live = java.nio.file.Paths.get(path, "cells")
-      val stage = java.nio.file.Paths.get(path, "cells_stage")
       def rmTree(p: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(p)) {
           java.nio.file.Files.walk(p)
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
         }
-      if (java.nio.file.Files.exists(stage)) {
-        rmTree(live)
-        java.nio.file.Files.move(stage, live)
+      dirs.foreach { d =>
+        val live = java.nio.file.Paths.get(path, d.dir)
+        val stage = java.nio.file.Paths.get(path, s"${d.dir}_stage")
+        if (java.nio.file.Files.exists(stage)) {
+          rmTree(live)
+          java.nio.file.Files.move(stage, live)
+        }
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(path, "_max_folded"), baseline.toString)
@@ -724,42 +757,111 @@ object Ann {
       col("cos_sim"))
   }
 
-  /** A served k-NN corpus: the OR-table bucketed (and capped) corpus as a
-    * WRITTEN table, plus the LSH parameters it was built with (stored
-    * beside it, so probes cannot silently rebucket with mismatched
-    * planes). At 10^12 rows the corpus side of a k-NN join is this —
-    * built once, probed by every query batch — not an in-memory
-    * rebucketing per batch (which `knnJoin` does, the one-shot form). */
-  case class ServedKnnCorpus(buckets: DataFrame, dim: Int, nBits: Int,
-                             nTables: Int)
+  /** A served k-NN corpus: the OR-table bucketed corpus as a WRITTEN
+    * table plus its pre-aggregated per-(tbl, bucket) sizes and the LSH
+    * parameters it was built with (stored beside it, so probes cannot
+    * silently rebucket with mismatched planes). At 10^12 rows the corpus
+    * side of a k-NN join is this — built once, probed by every query
+    * batch, ingested into shard by shard — not an in-memory rebucketing
+    * per batch (which `knnJoin` does, the one-shot form).
+    *
+    * The viral-bucket cap is applied at PROBE time from the counts (the
+    * minhash-index design): rows land uncapped, so an appended shard that
+    * pushes a bucket over the cap retroactively suppresses the whole
+    * bucket — exactly what a rebuild over the union would do. A cap baked
+    * in at write time cannot do that (the over-cap rows are already
+    * gone), so it would silently diverge from the rebuild under
+    * ingestion. */
+  case class ServedKnnCorpus(buckets: DataFrame, keyCounts: DataFrame,
+                             dim: Int, nBits: Int, nTables: Int,
+                             maxBucket: Int)
 
-  /** Write the corpus side of the k-NN join once: OR-table buckets with
-    * the viral-bucket cap BAKED IN (counted via `droppedRows`), laid out
-    * `partitionBy(tbl, bucket)` so a probing batch reads only the
-    * directories its query buckets hit — nTables*|Q| of nTables*2^nBits.
-    * Params land beside the data for `openKnnCorpus`. */
+  /** The knn corpus root holds two epoch-partitioned datasets: the bucket
+    * rows (relabel on fold) and the per-key counts (re-aggregate on
+    * fold — one row per key in the baseline). */
+  private val knnDirs = Seq(
+    CellsMaintenance.relabel("buckets", Seq("tbl", "bucket", "epoch")),
+    CellsMaintenance.EpochDir("counts", Seq("epoch"),
+      (df, b) => df.groupBy("tbl", "bucket").agg(sum("n").as("n"))
+        .withColumn("epoch", lit(b))))
+
+  /** Write the corpus side of the k-NN join once: OR-table bucket rows
+    * laid out `partitionBy(tbl, bucket, epoch)` so a probing batch reads
+    * only the directories its query buckets hit — nTables*|Q| of
+    * nTables*2^nBits — plus the per-key counts the probe-time cap sums.
+    * Counts derive from the WRITTEN table (a narrow columnar re-read),
+    * not a second evaluation of the bucketing plan — the expensive pass
+    * over the vectors runs once. Params land beside the data for
+    * `openKnnCorpus`. */
   def writeKnnCorpus(corpus: DataFrame, cId: String, cVec: String,
                      path: String, dim: Int, nBits: Int = 8, nTables: Int = 4,
-                     maxBucket: Int = 10000,
-                     droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): Unit = {
+                     maxBucket: Int = 10000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    CellsMaintenance.reset(path, knnDirs)
     val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
     val buckets = bucketsOfUdf(planeTables)
-    val cbk = corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
+    corpus.select(col(cId).as("cid"), col(cVec).as("cv"))
       .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
-    DropStats.capByKey(cbk, Seq("tbl", "bucket"), maxBucket, droppedRows)
-      .write.partitionBy("tbl", "bucket").mode("overwrite")
+      .withColumn("epoch", lit(0L))
+      .write.partitionBy("tbl", "bucket", "epoch").mode("overwrite")
       .parquet(s"$path/buckets")
+    spark.read.parquet(s"$path/buckets")
+      .groupBy("tbl", "bucket").agg(count("*").as("n"))
+      .select(col("tbl"), col("bucket"), col("n"), lit(0L).as("epoch"))
+      .write.partitionBy("epoch").mode("overwrite").parquet(s"$path/counts")
     Seq((dim, nBits, nTables, maxBucket)).toDF("dim", "n_bits", "n_tables", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Reopen a written k-NN corpus with the parameters it was built with. */
+  /** Fold a NEW corpus shard into the served k-NN corpus without touching
+    * the existing rows: the shard is bucketed with the STORED planes (one
+    * narrow pass over the shard vectors only), landing as epoch
+    * partitions under each (tbl, bucket) plus one counts row per touched
+    * key. Dynamic partition overwrite makes a replayed ingest of the same
+    * epoch idempotent (both datasets rewrite exactly their own epoch
+    * partitions); an epoch already folded by compaction fails loudly.
+    * Caller guarantees shard ids are disjoint from corpus ids. */
+  def appendToKnnCorpus(spark: SparkSession, path: String,
+                        newCorpus: DataFrame, cId: String, cVec: String,
+                        epoch: Long): Unit = {
+    require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+    CellsMaintenance.requireAppendable(path, epoch, knnDirs)
+    val p = spark.read.parquet(s"$path/params").head()
+    val (dim, nBits, nTables) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val planeTables = Array.tabulate(nTables)(l => hyperplanes(nBits, dim, 42L + 7919L * l))
+    val buckets = bucketsOfUdf(planeTables)
+    newCorpus.select(col(cId).as("cid"), col(cVec).as("cv"))
+      .select(col("cid"), col("cv"), posexplode(buckets(col("cv"))).as(Seq("tbl", "bucket")))
+      .withColumn("epoch", lit(epoch))
+      .write.partitionBy("tbl", "bucket", "epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/buckets")
+    // this epoch's counts from the WRITTEN rows: narrow re-read, and
+    // immune to the self-read recomputation hazard when `newCorpus`
+    // derives from this very corpus
+    spark.read.parquet(s"$path/buckets").filter(col("epoch") === epoch)
+      .groupBy("tbl", "bucket").agg(count("*").as("n"))
+      .select(col("tbl"), col("bucket"), col("n"), lit(epoch).as("epoch"))
+      .write.partitionBy("epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Fold the corpus's ingestion epochs into one baseline partition per
+    * (tbl, bucket) — and the counts back to one row per key (see
+    * `CellsMaintenance` for the contract). Returns the baseline epoch. */
+  def compactKnnCorpus(spark: SparkSession, path: String): Long =
+    CellsMaintenance.compact(spark, path, crashBeforeSwap = false, knnDirs)
+
+  /** Reopen a written k-NN corpus with the parameters it was built with.
+    * Finishes a compaction swap a crashed maintenance run left pending. */
   def openKnnCorpus(spark: SparkSession, path: String): ServedKnnCorpus = {
+    CellsMaintenance.finishPending(path, knnDirs)
     val p = spark.read.parquet(s"$path/params").head()
     ServedKnnCorpus(spark.read.parquet(s"$path/buckets"),
-      p.getInt(0), p.getInt(1), p.getInt(2))
+      spark.read.parquet(s"$path/counts"),
+      p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3))
   }
 
   /** Batch k-NN against a served corpus: only the QUERY side is bucketed
@@ -768,9 +870,19 @@ object Ann {
     * query batch broadcasts, and dynamic partition pruning turns its
     * (tbl, bucket) set into PartitionFilters on the directory layout, so
     * a narrow batch never reads the full corpus. Value-equal to `knnJoin`
-    * over the same corpus (spec-pinned). */
+    * over the same corpus (spec-pinned).
+    *
+    * The combined viral-bucket cap applies here: totals for QUERY-TOUCHED
+    * keys only — the corpus-scale counts table STREAMS through a
+    * semi-join against the broadcast query keys (summed across ingestion
+    * epochs for just those keys, never a whole-table re-aggregate), and
+    * over-cap keys are removed from the QUERY side before the corpus
+    * join, so dynamic pruning never even selects a viral directory.
+    * Dropped corpus rows (for touched over-cap keys — untouched buckets
+    * cannot contribute pairs) are COUNTED via `droppedRows`. */
   def knnJoinServed(served: ServedKnnCorpus, queries: DataFrame,
-                    qId: String, qVec: String, k: Int): DataFrame = {
+                    qId: String, qVec: String, k: Int,
+                    droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val planeTables = Array.tabulate(served.nTables)(l =>
       hyperplanes(served.nBits, served.dim, 42L + 7919L * l))
     val buckets = bucketsOfUdf(planeTables)
@@ -778,10 +890,21 @@ object Ann {
     // partition-column type inference can narrow tbl/bucket on read; cast
     // the QUERY side to the stored types so the corpus join keys stay the
     // raw partition attributes pruning resolves against
-    val qb = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+    val qb0 = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
       .select(col("qid"), col("qv"), posexplode(buckets(col("qv"))).as(Seq("tbl", "bucket")))
       .withColumn("tbl", col("tbl").cast(cSchema("tbl").dataType))
       .withColumn("bucket", col("bucket").cast(cSchema("bucket").dataType))
+    val touched = served.keyCounts
+      .join(broadcast(qb0.select("tbl", "bucket").distinct()),
+        Seq("tbl", "bucket"), "left_semi")
+      .groupBy("tbl", "bucket").agg(sum("n").as("n_total"))
+    val overCap = touched.filter(col("n_total") > served.maxBucket)
+    droppedRows.foreach { a =>
+      a.add(overCap.agg(coalesce(sum("n_total"), lit(0L))).head().getLong(0))
+    }
+    val marked = overCap.select(col("tbl"), col("bucket"), lit(true).as("_over"))
+    val qb = qb0.join(broadcast(marked), Seq("tbl", "bucket"), "left")
+      .filter(col("_over").isNull).drop("_over")
     knnScore(broadcast(qb), served.buckets, k, served.nTables)
   }
 

@@ -558,6 +558,107 @@ class OpsSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("x35 served k-NN ingestion: appended corpus probe equals the single-build x31 form") {
+    // base 80% + epoch-appended 20% must answer exactly like one build
+    // over the full corpus — planes are stored, counts are additive, and
+    // the probe-time cap sums across epochs
+    val one = SparkEntry.queries("x31_knn_join_served")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val appended = SparkEntry.queries("x35_knn_join_appended")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(appended == one, s"appended=${appended.take(5)}... one=${one.take(5)}...")
+    assert(appended.exists(_._2 % 5 == 0),
+      "no appended vector reached any top-k — ingestion parity check is vacuous")
+  }
+
+  test("served k-NN corpus: an appended shard pushing a bucket over the cap suppresses it, counted — rebuild-exact") {
+    import spark.implicits._
+    // identical vectors collide in every table; 3 base + 2 appended rows
+    // cross maxBucket=4 only ACROSS the ingestion boundary — a cap baked
+    // in at write time could never drop the 3 already-written rows
+    val dim = 4
+    val v = Seq(1f, 2f, 3f, 4f)
+    val far = Seq(-9f, 8f, -7f, 6f)
+    def embOf(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val base = embOf((1L to 3L).map(i => (i, v)) :+ (10L, far))
+    val shard = embOf(Seq((4L, v), (5L, v)))
+    val dir = "/tmp/graft-test-knn-capped-append"
+    Ann.writeKnnCorpus(base, "vec_id", "embedding", dir,
+      dim = dim, nBits = 2, nTables = 1, maxBucket = 4)
+    val queries = embOf(Seq((100L, v), (101L, far)))
+    // before the append the v-bucket holds 3 <= 4 rows: probing finds them
+    val acc0 = spark.sparkContext.longAccumulator("knn_cap_before")
+    val before = Ann.knnJoinServed(Ann.openKnnCorpus(spark, dir), queries,
+        "vec_id", "embedding", k = 5, droppedRows = Some(acc0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.contains((100L, 1L)) && acc0.value == 0L)
+    Ann.appendToKnnCorpus(spark, dir, shard, "vec_id", "embedding", epoch = 1L)
+    val acc1 = spark.sparkContext.longAccumulator("knn_cap_after")
+    val after = Ann.knnJoinServed(Ann.openKnnCorpus(spark, dir), queries,
+        "vec_id", "embedding", k = 5, droppedRows = Some(acc1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the combined 5-row bucket is over cap: no neighbor from it survives,
+    // and the 5 suppressed corpus rows are counted, never silent
+    assert(!after.exists(_._1 == 100L), s"over-cap bucket leaked: $after")
+    assert(acc1.value == 5L, s"dropped_rows=${acc1.value}")
+    // the far bucket is untouched by the append
+    assert(after.exists(_._1 == 101L))
+    // rebuild-exact: the in-memory knnJoin over the union agrees
+    val accU = spark.sparkContext.longAccumulator("knn_cap_union")
+    val union = Ann.knnJoin(queries, "vec_id", "embedding",
+        base.union(shard), "vec_id", "embedding", k = 5, dim = dim,
+        nBits = 2, nTables = 1, maxBucket = 4, droppedRows = Some(accU))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == union, s"served=$after union=$union")
+  }
+
+  test("served k-NN corpus compaction: epochs fold, counts collapse to one row per key, probes unchanged; replays guarded") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    val dim = 16
+    def rand(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (mix(seed * 7919 + i) >>> 40).toFloat / (1 << 24) - 0.5f)
+    def embOf(ids: Seq[Long]) = ids.map(p => (p, rand(p).toSeq)).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val dir = "/tmp/graft-test-knn-compact"
+    Ann.writeKnnCorpus(embOf(1L to 200L), "vec_id", "embedding", dir,
+      dim = dim, nBits = 4, nTables = 2)
+    Ann.appendToKnnCorpus(spark, dir, embOf(201L to 260L), "vec_id", "embedding", epoch = 1L)
+    // a replayed append of a committed epoch rewrites its own partitions,
+    // never duplicates (both datasets)
+    val nb = spark.read.parquet(s"$dir/buckets").count()
+    val nc = spark.read.parquet(s"$dir/counts").count()
+    Ann.appendToKnnCorpus(spark, dir, embOf(201L to 260L), "vec_id", "embedding", epoch = 1L)
+    assert(spark.read.parquet(s"$dir/buckets").count() == nb, "replay duplicated bucket rows")
+    assert(spark.read.parquet(s"$dir/counts").count() == nc, "replay duplicated count rows")
+    Ann.appendToKnnCorpus(spark, dir, embOf(261L to 300L), "vec_id", "embedding", epoch = 2L)
+    val queries = embOf(Seq(500L)).union(embOf(Seq(1L, 250L, 290L)))
+    def probe() = Ann.knnJoinServed(Ann.openKnnCorpus(spark, dir), queries,
+        "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = probe()
+    assert(want.exists(_._2 > 200L), "no appended vector in any top-k — parity is vacuous")
+    assert(Ann.compactKnnCorpus(spark, dir) === 2L)
+    assert(probe() === want)
+    // counts folded: exactly one row per surviving key, all epoch=2
+    val counts = spark.read.parquet(s"$dir/counts")
+    assert(counts.select("epoch").distinct().collect().map(_.get(0).toString).toSeq == Seq("2"))
+    assert(counts.groupBy("tbl", "bucket").count().filter(col("count") > 1).count() == 0L)
+    // probes stay dynamically partition-pruned over the compacted layout
+    val p = Ann.knnJoinServed(Ann.openKnnCorpus(spark, dir), queries,
+      "vec_id", "embedding", k = 4).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*dynamicpruning".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // folded epochs refuse replays; ingestion continues past the fold point
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToKnnCorpus(spark, dir, embOf(261L to 300L), "vec_id", "embedding", epoch = 2L)
+    }
+    assert(e.getMessage.contains("folded"))
+    Ann.appendToKnnCorpus(spark, dir, embOf(301L to 320L), "vec_id", "embedding", epoch = 3L)
+    assert(Ann.compactKnnCorpus(spark, dir) === 3L)
+  }
+
   test("quantizer training sample: seeded hash filter covers id-correlated clusters") {
     import spark.implicits._
     import graft.gen.Corpus.mix
