@@ -150,6 +150,15 @@ object Demo {
     val funnel = SparkEntry.queries("a06_filter_funnel")(spark, sfDir)
       .collect().map(r => s"${r.getString(0)}=${r.getInt(1)}").mkString(" ")
     println(s"[demo] filter funnel: $funnel")
+    // domain-mixture sampling -> sharded training order
+    val mix = SparkEntry.queries("d14_domain_mix")(spark, sfDir)
+      .groupBy("n_copies").count().orderBy("n_copies")
+      .collect().map(r => s"${r.getInt(0)}x=${r.getLong(1)}").mkString(" ")
+    val shards = SparkEntry.queries("t11_training_shards")(spark, sfDir)
+      .groupBy("shard").count().orderBy("shard")
+      .collect().map(_.getLong(1))
+    println(s"[demo] domain mix copies: $mix -> ${shards.length} shards " +
+      s"(rows min=${shards.min} max=${shards.max})")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

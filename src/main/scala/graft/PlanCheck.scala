@@ -27,7 +27,10 @@ object PlanCheck {
                   "x33_decontaminate_bloom",
                   // epoch-appended served k-NN corpus (probe-time cap,
                   // DPP must survive the appended layout)
-                  "x35_knn_join_appended")) {
+                  "x35_knn_join_appended",
+                  // domain mix (broadcast rates, no sort) + training
+                  // shards (one exchange on shard feeds the window)
+                  "d14_domain_mix", "t11_training_shards")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev-loop slice of graft.Verify: dump ONLY the named queries (+ their
+  * oracle SQL) so tools/compare_oracle.py can gate a query under
+  * construction without the full 100-query sweep.
+  * Usage: runMain graft.ProbeQ <sfDir> <outDir> <name>[,<name>...] */
+object ProbeQ {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val wanted = names.split(",").toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    wanted.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => wanted.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -168,6 +168,41 @@ object TrainingQueries {
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Shared CTE chain for the domain-mixture sampler (d14 + t11): per-doc
+    * token counts, per-domain totals, deterministic target weights (1..8
+    * from the source-name hash, so both the downsample and the upsample
+    * branch fire on this corpus), and the per-doc copy count. The token
+    * budget is 80% of the corpus; a domain's target is its weight share of
+    * that; rate = target/available, clipped at 4x. Rates are carried in
+    * BASIS POINTS so both engines compare integers, never floats:
+    * n_copies = floor(rate) + Bernoulli(frac) via an md5 threshold. This
+    * IS the at-scale plan: one hash agg to domain totals (tiny -> Spark
+    * broadcasts it back), then a single narrow per-doc pass — no sort,
+    * nothing global over the corpus. The grand totals are unpartitioned
+    * window sums OVER the tiny per-domain frame (#domains rows in one
+    * partition), NOT a second pass over the corpus: both a ROLLUP and a
+    * scalar-subquery `tot` CTE duplicate the aggregate subtree and
+    * re-tokenize the base table — at 10^12 docs the tokenizer pass is
+    * the whole cost, so the corpus must be scanned exactly once here
+    * (plus once in the final per-doc join). */
+  private def mixBody(d: D): String = {
+    val ntok = d.size("regexp_extract_all(text, '\\S+', 0)")
+    val bern = d.h32("'mix|' || CAST(doc_id AS STRING)")
+    s"""WITH toks AS (SELECT doc_id, source, CAST($ntok AS BIGINT) AS ntok
+       |  FROM documents WHERE source IS NOT NULL),
+       |dom AS (SELECT source, 1 + ${d.h32("source")} % 8 AS w, sum(ntok) AS dom_tok
+       |  FROM toks GROUP BY source),
+       |rates AS (SELECT source,
+       |  CAST(floor(least(4e0,
+       |    (sum(dom_tok) OVER () * 8e-1 * w / sum(w) OVER ()) / dom_tok) * 10000) AS BIGINT) AS rate_bp
+       |  FROM dom),
+       |mix AS (SELECT /*+ BROADCAST(r) */ t.doc_id, t.source, t.ntok, r.rate_bp,
+       |  CAST(floor(r.rate_bp * 1e0 / 10000) AS INT)
+       |    + CASE WHEN $bern % 10000 < r.rate_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM toks t JOIN rates r ON t.source = r.source)""".stripMargin
+      .replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key
@@ -287,6 +322,42 @@ object TrainingQueries {
          |       WHEN mean_chars < 280 THEN 'drop_low_content'
          |       ELSE 'keep' END AS decision
          |FROM agg ORDER BY source""".stripMargin.replace("\n", " ")
+    },
+
+    // D14 — domain-mixture quota sampling: fix the training mix at a token
+    // budget (the step between curation and packing in every real LLM
+    // pipeline — DoReMi/Pile-style weights, here deterministic). Per doc:
+    // its domain's sampling rate in basis points and its materialized copy
+    // count — 0 = dropped, 1 = kept, >1 = upsampled. See `mixBody` for the
+    // rule and the scale argument.
+    "d14_domain_mix" -> q { d =>
+      s"""${mixBody(d)}
+         |SELECT doc_id, source, ntok, rate_bp, n_copies
+         |FROM mix ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    // T11 — training shards: materialize the d14 mix (each doc repeated
+    // n_copies times) into a fixed number of training shards with a
+    // deterministic md5 shuffle — shard = hash(doc, copy) % 8, position =
+    // rank of hash WITHIN the shard. The within-shard window is the
+    // entire point: at 10^12 docs a global sort is impossible, but
+    // repartition-by-shard + sortWithinPartitions (exactly this plan —
+    // one hash exchange + per-partition sort) writes every shard
+    // independently; shard count scales with the corpus so each stays
+    // executor-sized. Copy expansion is an inequality join against a
+    // 4-row inline table, not a per-row generator.
+    "t11_training_shards" -> q { d =>
+      val key = "CAST(doc_id AS STRING) || '#' || CAST(copy_i AS STRING)"
+      s"""${mixBody(d)},
+         |copies AS (SELECT m.doc_id, m.ntok, c.i AS copy_i
+         |  FROM mix m JOIN (VALUES (0), (1), (2), (3)) AS c(i) ON c.i < m.n_copies),
+         |sh AS (SELECT doc_id, ntok, copy_i,
+         |  CAST(${d.h32(s"'s|' || $key")} % 8 AS INT) AS shard,
+         |  ${d.h60(s"'o|' || $key")} AS ord FROM copies)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy_i) AS INT) AS pos,
+         |  doc_id, copy_i, ntok
+         |FROM sh ORDER BY shard, pos""".stripMargin.replace("\n", " ")
     },
 
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word

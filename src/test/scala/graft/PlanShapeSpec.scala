@@ -224,4 +224,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("FileScan parquet \\[doc_id#\\d+L,text#\\d+\\]".r.findFirstIn(p).isDefined,
       p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
   }
+
+  test("d14 domain mix: exactly two corpus passes; rates come back as a broadcast") {
+    val p = plan("d14_domain_mix")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // the tokenizer pass is the whole cost at scale: ONE scan feeds the
+    // domain-total aggregate and ONE the per-doc pass. The grand totals are
+    // a window over the tiny per-domain frame — a ROLLUP or scalar-subquery
+    // regression would duplicate the aggregate subtree and show a 3rd scan.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"$scans corpus scans\n" +
+      p.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    // the per-domain rate table must join back as a broadcast, never a
+    // corpus-side shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("t11 training shards: one hash exchange on shard feeds a within-partition window sort") {
+    val p = plan("t11_training_shards")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // copy expansion joins a 4-row VALUES table (broadcast nested-loop over
+    // literals is benign, j06 precedent); the shard window must read from a
+    // hashpartitioning(shard) exchange with a NON-global sort — a global
+    // sort here is the 10^12-row impossibility this query exists to avoid
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(("(?s)Sort \\[shard#\\d+ ASC NULLS FIRST, ord#\\d+L ASC NULLS FIRST" +
+      ".*?\\], false, 0").r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("Sort ")).mkString("\n"))
+  }
 }
