@@ -159,6 +159,12 @@ object Demo {
       .collect().map(_.getLong(1))
     println(s"[demo] domain mix copies: $mix -> ${shards.length} shards " +
       s"(rows min=${shards.min} max=${shards.max})")
+    // concat-and-chunk: 512-token training sequences per shard
+    val seqs = SparkEntry.queries("t12_packed_batches")(spark, sfDir)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.max("seq_id").as("s"))
+      .collect().map(_.getLong(1) + 1)
+    println(s"[demo] packed batches: ${seqs.sum} sequences of 512 tokens " +
+      s"across ${seqs.length} shards")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

@@ -30,7 +30,10 @@ object PlanCheck {
                   "x35_knn_join_appended",
                   // domain mix (broadcast rates, no sort) + training
                   // shards (one exchange on shard feeds the window)
-                  "d14_domain_mix", "t11_training_shards")) {
+                  "d14_domain_mix", "t11_training_shards",
+                  // concat-and-chunk packing (rank + prefix sum must share
+                  // the one shard window)
+                  "t12_packed_batches")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -203,6 +203,21 @@ object TrainingQueries {
       .replace("\n", " ")
   }
 
+  /** mixBody extended to the sharded form t11/t12 share: each doc repeated
+    * n_copies times (inequality join against a 4-row inline table, not a
+    * per-row generator), shard = md5(doc,copy) % 8, plus the deterministic
+    * md5 shuffle order `ord`. Ends with CTE `sh`. */
+  private def shardBody(d: D): String = {
+    val key = "CAST(doc_id AS STRING) || '#' || CAST(copy_i AS STRING)"
+    s"""${mixBody(d)},
+       |copies AS (SELECT m.doc_id, m.ntok, c.i AS copy_i
+       |  FROM mix m JOIN (VALUES (0), (1), (2), (3)) AS c(i) ON c.i < m.n_copies),
+       |sh AS (SELECT doc_id, ntok, copy_i,
+       |  CAST(${d.h32(s"'s|' || $key")} % 8 AS INT) AS shard,
+       |  ${d.h60(s"'o|' || $key")} AS ord FROM copies)""".stripMargin
+      .replace("\n", " ")
+  }
+
   val all: Map[String, (String, String)] = Map(
 
     // D1 — exact dedup: hash-groupBy, keep min doc_id per key
@@ -347,17 +362,41 @@ object TrainingQueries {
     // executor-sized. Copy expansion is an inequality join against a
     // 4-row inline table, not a per-row generator.
     "t11_training_shards" -> q { d =>
-      val key = "CAST(doc_id AS STRING) || '#' || CAST(copy_i AS STRING)"
-      s"""${mixBody(d)},
-         |copies AS (SELECT m.doc_id, m.ntok, c.i AS copy_i
-         |  FROM mix m JOIN (VALUES (0), (1), (2), (3)) AS c(i) ON c.i < m.n_copies),
-         |sh AS (SELECT doc_id, ntok, copy_i,
-         |  CAST(${d.h32(s"'s|' || $key")} % 8 AS INT) AS shard,
-         |  ${d.h60(s"'o|' || $key")} AS ord FROM copies)
+      s"""${shardBody(d)}
          |SELECT shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy_i) AS INT) AS pos,
          |  doc_id, copy_i, ntok
          |FROM sh ORDER BY shard, pos""".stripMargin.replace("\n", " ")
+    },
+
+    // T12 — packed training batches: concat-and-chunk over the t11 shard
+    // order (the GPT-pretraining shape — docs are concatenated in shuffle
+    // order and SPLIT at fixed 512-token sequence boundaries; t07 is the
+    // complementary whole-doc bin packing). Per doc copy: its exclusive
+    // running token offset within the shard, the sequence it starts in,
+    // the offset inside that sequence, and how many boundaries it crosses.
+    // Scale shape: the running sum and the rank share one window spec, so
+    // the SAME single hashpartitioning(shard) exchange + within-partition
+    // sort feeds both — nothing global; a shard's token total stays far
+    // under 2^52 (shard count scales with the corpus), so the floor-double
+    // division is exact.
+    "t12_packed_batches" -> q { d =>
+      val off = """coalesce(sum(ntok) OVER (PARTITION BY shard
+        | ORDER BY ord, doc_id, copy_i
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""
+        .stripMargin.replace("\n", " ")
+      s"""${shardBody(d)},
+         |packed AS (SELECT shard, doc_id, copy_i, ntok,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy_i) AS INT) AS pos,
+         |  CAST($off AS BIGINT) AS tok_off
+         |  FROM sh)
+         |SELECT shard, pos, doc_id, copy_i, ntok, tok_off,
+         |  CAST(floor(tok_off / 512e0) AS BIGINT) AS seq_id,
+         |  CAST(tok_off % 512 AS INT) AS seq_off,
+         |  CAST(CASE WHEN ntok > 0
+         |    THEN floor((tok_off + ntok - 1) / 512e0) - floor(tok_off / 512e0)
+         |    ELSE 0 END AS INT) AS n_crossings
+         |FROM packed ORDER BY shard, pos""".stripMargin.replace("\n", " ")
     },
 
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word

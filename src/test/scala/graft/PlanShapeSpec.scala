@@ -255,4 +255,22 @@ class PlanShapeSpec extends AnyFunSuite {
       ".*?\\], false, 0").r.findFirstIn(p).isDefined,
       p.linesIterator.filter(_.contains("Sort ")).mkString("\n"))
   }
+
+  test("t12 packed batches: rank + running token sum share ONE shard window") {
+    val p = plan("t12_packed_batches")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // row_number and the exclusive prefix sum use the same (partition,
+    // order) spec — they must collapse into a single Window node fed by a
+    // single hashpartitioning(shard) exchange (the mix body's tiny
+    // per-domain frame window is separate and benign). A split spec means
+    // the shard-partitioned rows sort or shuffle twice.
+    val shardWindows = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number()")).toSeq
+    assert(shardWindows.size == 1 && shardWindows.head.contains("sum(ntok"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    val shardEx = "Exchange hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(shardEx == 1, s"$shardEx shard exchanges\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
