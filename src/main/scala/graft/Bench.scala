@@ -65,8 +65,16 @@ object Bench {
       val n = SparkEntry.queries("x26_audio_features")(spark, sfDir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }.minBy(_._1)
-    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"},"media_frames":${f"$tFrames%.3f"},"audio_features":${f"$tAudio%.3f"}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers,"decontaminated_docs":$nContaminated,"media_frame_rows":$nFrames,"audio_feature_rows":$nAudio}""")
+    // training-mix tier (round-5): domain quota -> shard shuffle ->
+    // concat-and-chunk packing, timed end-to-end as the t12 composition
+    // (its plan contains the whole d14 + t11 chain)
+    val (tMixPack, nPackRows) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("t12_packed_batches")(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.minBy(_._1)
+    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"},"media_frames":${f"$tFrames%.3f"},"audio_features":${f"$tAudio%.3f"},"training_mix_pack":${f"$tMixPack%.3f"}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers,"decontaminated_docs":$nContaminated,"media_frame_rows":$nFrames,"audio_feature_rows":$nAudio,"packed_rows":$nPackRows}""")
     spark.stop()
   }
 
