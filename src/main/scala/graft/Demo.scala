@@ -165,6 +165,22 @@ object Demo {
       .collect().map(_.getLong(1) + 1)
     println(s"[demo] packed batches: ${seqs.sum} sequences of 512 tokens " +
       s"across ${seqs.length} shards")
+    // the mix served from maintained stats: baseline + ingested epoch,
+    // folded by compaction — copy counts identical to the corpus scan
+    val mixDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val statsPath = new java.io.File(outDir, "mix_stats").getAbsolutePath
+    ops.Mix.writeStats(mixDocs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 4 =!= 3), statsPath)
+    ops.Mix.appendStats(mixDocs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 4 === 3), statsPath, epoch = 1L)
+    ops.Mix.compactStats(spark, statsPath)
+    val servedCopies = ops.Mix.assign(mixDocs,
+        ops.Mix.rates(ops.Mix.openStats(spark, statsPath)))
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    val scanCopies = SparkEntry.queries("d14_domain_mix")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    println(s"[demo] served mix (stats baseline + epoch, compacted): " +
+      s"$servedCopies copies == corpus-scan $scanCopies")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

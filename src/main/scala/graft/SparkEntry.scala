@@ -539,6 +539,21 @@ object SparkEntry {
           d.spans.count(_.kind == "html"), kept.count(_.kind == "paragraph"))
       }.toDF("doc_id", "n_spans", "n_kept", "n_html", "n_paragraphs")
         .orderBy("doc_id")
+    }),
+    // Domain mix SERVED from the maintained stats table (ops.Mix): the
+    // stats are built on the older tranche and the rest arrives as an
+    // ingested epoch — the mix assigned from baseline + epoch must equal
+    // the corpus-scan query over the union, so this is pinned against
+    // d14's OWN DuckDB oracle (value-exact, not rows-only). The arithmetic
+    // shares TrainingQueries.MixSql with the SQL tier by construction.
+    "x36_domain_mix_served" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x36_mix_stats_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Mix.writeStats(docs.filter(col("doc_id") % 4 =!= 3), path)
+      ops.Mix.appendStats(docs.filter(col("doc_id") % 4 === 3), path, epoch = 1L)
+      ops.Mix.assign(docs, ops.Mix.rates(ops.Mix.openStats(s, path)))
+        .orderBy("doc_id")
     })
   )
 
@@ -591,5 +606,8 @@ object SparkEntry {
       ("x27_contamination_score" -> TrainingQueries.X27OracleDuck) +
       ("x33_decontaminate_bloom" -> TrainingQueries.X18OracleDuck) +
       ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck) +
-      ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck)
+      ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck) +
+      // the served mix must reproduce the corpus-scan query exactly —
+      // same oracle as d14
+      ("x36_domain_mix_served" -> shared("d14_domain_mix")._2)
 }

@@ -168,6 +168,35 @@ object TrainingQueries {
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** The d14 mixture arithmetic as shared expression strings: the SQL tier
+    * (mixBody, both dialects) and the served operator form (`ops.Mix`,
+    * Spark dialect) render from the SAME builders, so their outputs are
+    * value-equal by construction — x36 pins the served form against d14's
+    * DuckDB oracle. Column references each expression assumes: `rate`
+    * reads (w, dom_tok) and windows over the per-domain frame; `nCopies`
+    * reads (doc_id, rate_bp). */
+  private[graft] object MixSql {
+    /** Whitespace-run token count, BIGINT. */
+    def ntok(d: D): String =
+      s"CAST(${d.size("regexp_extract_all(text, '\\S+', 0)")} AS BIGINT)"
+    /** Deterministic 1..8 target weight from the source name. */
+    def w(d: D): String = s"1 + ${d.h32("source")} % 8"
+    /** Sampling rate in basis points: weight share of an 80% token budget
+      * over the domain's available tokens, clipped at 4x. The grand totals
+      * are window sums over the tiny per-domain frame — never a second
+      * corpus pass. */
+    def rate(d: D): String =
+      """CAST(floor(least(4e0,
+        |    (sum(dom_tok) OVER () * 8e-1 * w / sum(w) OVER ()) / dom_tok) * 10000) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    /** Materialized copy count: floor(rate) + Bernoulli(frac) via an md5
+      * threshold — integers end to end, no float compare. */
+    def nCopies(d: D): String =
+      s"""CAST(floor(rate_bp * 1e0 / 10000) AS INT)
+         |    + CASE WHEN ${d.h32("'mix|' || CAST(doc_id AS STRING)")} % 10000 < rate_bp % 10000 THEN 1 ELSE 0 END"""
+        .stripMargin.replace("\n", " ")
+  }
+
   /** Shared CTE chain for the domain-mixture sampler (d14 + t11): per-doc
     * token counts, per-domain totals, deterministic target weights (1..8
     * from the source-name hash, so both the downsample and the upsample
@@ -186,19 +215,13 @@ object TrainingQueries {
     * the whole cost, so the corpus must be scanned exactly once here
     * (plus once in the final per-doc join). */
   private def mixBody(d: D): String = {
-    val ntok = d.size("regexp_extract_all(text, '\\S+', 0)")
-    val bern = d.h32("'mix|' || CAST(doc_id AS STRING)")
-    s"""WITH toks AS (SELECT doc_id, source, CAST($ntok AS BIGINT) AS ntok
+    s"""WITH toks AS (SELECT doc_id, source, ${MixSql.ntok(d)} AS ntok
        |  FROM documents WHERE source IS NOT NULL),
-       |dom AS (SELECT source, 1 + ${d.h32("source")} % 8 AS w, sum(ntok) AS dom_tok
+       |dom AS (SELECT source, ${MixSql.w(d)} AS w, sum(ntok) AS dom_tok
        |  FROM toks GROUP BY source),
-       |rates AS (SELECT source,
-       |  CAST(floor(least(4e0,
-       |    (sum(dom_tok) OVER () * 8e-1 * w / sum(w) OVER ()) / dom_tok) * 10000) AS BIGINT) AS rate_bp
-       |  FROM dom),
-       |mix AS (SELECT /*+ BROADCAST(r) */ t.doc_id, t.source, t.ntok, r.rate_bp,
-       |  CAST(floor(r.rate_bp * 1e0 / 10000) AS INT)
-       |    + CASE WHEN $bern % 10000 < r.rate_bp % 10000 THEN 1 ELSE 0 END AS n_copies
+       |rates AS (SELECT source, ${MixSql.rate(d)} AS rate_bp FROM dom),
+       |mix AS (SELECT /*+ BROADCAST(r) */ t.doc_id, t.source, t.ntok, rate_bp,
+       |  ${MixSql.nCopies(d)} AS n_copies
        |  FROM toks t JOIN rates r ON t.source = r.source)""".stripMargin
       .replace("\n", " ")
   }
