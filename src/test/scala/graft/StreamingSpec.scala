@@ -199,6 +199,45 @@ class StreamingSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming mix maintenance: shards fold into the stats, rates track the union, replay exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-mix").toString
+    val (inDir, statsPath, outDir, ck) =
+      (s"$root/in", s"$root/stats", s"$root/rates", s"$root/ck")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val s1 = docs.filter(col("doc_id") % 2 === 0)
+    val s2 = docs.filter(col("doc_id") % 2 === 1)
+    def ratesOf(dir: String): Map[String, Long] =
+      spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shard 1 lands -> batch 0 creates the stats
+    s1.write.mode("append").parquet(inDir)
+    val q1 = pipeline.StreamingMix.start(spark, inDir, statsPath, outDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ratesOf(s"$outDir/batch=000000") ==
+      ops.Mix.rates(ops.Mix.domainStats(s1)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // kill + restart from the checkpoint; shard 2 lands -> batch 1 appends
+    s2.write.mode("append").parquet(inDir)
+    val q2 = pipeline.StreamingMix.start(spark, inDir, statsPath, outDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    // the published rates now equal the corpus-scan rates over the union
+    val full = ops.Mix.rates(ops.Mix.domainStats(docs)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = ratesOf(s"$outDir/batch=000001")
+    assert(b1 == full && b1.nonEmpty)
+    // replay batch 1 (crash between stats append and offset commit): the
+    // dynamic-overwrite epoch + derived snapshot reproduce identical state
+    val statsBefore = ops.Mix.openStats(spark, statsPath)
+      .orderBy("source", "epoch").collect().toSeq
+    pipeline.StreamingMix.mixBatch(s2.toDF(), 1L, statsPath, outDir)
+    assert(ops.Mix.openStats(spark, statsPath)
+      .orderBy("source", "epoch").collect().toSeq == statsBefore,
+      "replay changed the stats")
+    assert(ratesOf(s"$outDir/batch=000001") == b1, "replayed rates differ")
+  }
+
   test("streaming into an outDir seeded by batch runs: seqs extend, never collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
