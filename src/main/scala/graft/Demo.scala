@@ -181,6 +181,16 @@ object Demo {
       .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
     println(s"[demo] served mix (stats baseline + epoch, compacted): " +
       s"$servedCopies copies == corpus-scan $scanCopies")
+    // in-engine classifier training: the linear quality probe vs its gate
+    val probe = SparkEntry.queries("t13_quality_probe")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.expr(
+          "sum(CASE WHEN label = pred THEN 1 ELSE 0 END)").as("agree"),
+        org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.min("score"),
+        org.apache.spark.sql.functions.max("score")).head()
+    println(s"[demo] quality probe (24 GD iters in-engine): " +
+      s"${probe.getLong(0)}/${probe.getLong(1)} label agreement, " +
+      f"scores ${probe.getDouble(2)}%.3f..${probe.getDouble(3)}%.3f")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

@@ -33,7 +33,10 @@ object PlanCheck {
                   "d14_domain_mix", "t11_training_shards",
                   // concat-and-chunk packing (rank + prefix sum must share
                   // the one shard window)
-                  "t12_packed_batches")) {
+                  "t12_packed_batches",
+                  // in-engine GD training (global partial hash aggs,
+                  // 1-row broadcast weight frames)
+                  "t13_quality_probe")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -197,6 +197,60 @@ object TrainingQueries {
         .stripMargin.replace("\n", " ")
   }
 
+  /** Distributed classifier TRAINING as dialect-shared SQL: unrolled
+    * fixed-point batch gradient descent for a linear quality probe
+    * (FineWeb/DCLM-style classifier-based filtering, distilling the d11
+    * heuristic gate into a smooth score). Engineering that makes it
+    * value-exact across engines AND scale-honest:
+    *  - squared loss, no exp(): libm vs Math.exp can differ by 1 ulp and
+    *    the divergence would compound across iterations;
+    *  - per-doc gradient contributions are QUANTIZED to BIGINT
+    *    (floor(g * 1e9)) before summing — float sums depend on partition
+    *    order, integer sums are exact and associative, so the distributed
+    *    aggregate is bit-reproducible at any parallelism;
+    *  - weights ride THROUGH each aggregate as max(const) columns, so
+    *    iteration k+1 references only g_k — the CTE chain stays linear
+    *    (a g_k-cross-w_k shape would reference w_k twice and square the
+    *    plan each iteration);
+    *  - each iteration is one corpus scan feeding a global partial+final
+    *    hash aggregate with a broadcast 1-row weights frame — exactly
+    *    what batch GD costs on a cluster, nothing hidden.
+    * Ends with CTEs `feats` (doc_id, x1..x3, y) and `w$iters` (trained
+    * weights). */
+  private val ProbeIters = 24
+  private def probeBody(d: D): String = {
+    val nt = MixSql.ntok(d)
+    val np = d.size("regexp_extract_all(text, '[.,;:!?]', 0)")
+    val z = "b + w1*x1 + w2*x2 + w3*x3"
+    def gsum(mult: String) =
+      s"sum(CAST(floor(($z - y)$mult * 1e9) AS BIGINT))"
+    val iters = (0 until ProbeIters).map { k =>
+      s"""g$k AS (SELECT ${gsum("")} AS gb, ${gsum(" * x1")} AS g1,
+         |  ${gsum(" * x2")} AS g2, ${gsum(" * x3")} AS g3,
+         |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3,
+         |  max(n) AS n FROM feats CROSS JOIN w$k),
+         |w${k + 1} AS (SELECT b - 5e-1 * (gb / 1e9) / n AS b,
+         |  w1 - 5e-1 * (g1 / 1e9) / n AS w1,
+         |  w2 - 5e-1 * (g2 / 1e9) / n AS w2,
+         |  w3 - 5e-1 * (g3 / 1e9) / n AS w3, n FROM g$k)""".stripMargin
+    }.mkString(",\n")
+    // the oracle pays 1 + iters regex-tokenization scans if feats inlines;
+    // DuckDB's MATERIALIZED hint collapses that to one (Spark has no such
+    // syntax and its per-iteration scan IS the honest distributed cost)
+    val mat = if (d.isSpark) "" else "MATERIALIZED "
+    s"""WITH feats AS $mat(SELECT doc_id,
+       |  least($nt, 200) / 2e2 AS x1,
+       |  least(length(text), 1000) / 1e3 AS x2,
+       |  least($np * 1e1 / greatest(length(text), 1), 1e0) AS x3,
+       |  CASE WHEN $nt >= 10
+       |        AND $np * 1e0 / nullif(length(text), 0) < 0.2
+       |        AND length(text) >= 150 THEN 1e0 ELSE 0e0 END AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |w0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3,
+       |  count(*) * 1e0 AS n FROM feats),
+       |$iters""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared CTE chain for the domain-mixture sampler (d14 + t11): per-doc
     * token counts, per-domain totals, deterministic target weights (1..8
     * from the source-name hash, so both the downsample and the upsample
@@ -420,6 +474,30 @@ object TrainingQueries {
          |    THEN floor((tok_off + ntok - 1) / 512e0) - floor(tok_off / 512e0)
          |    ELSE 0 END AS INT) AS n_crossings
          |FROM packed ORDER BY shard, pos""".stripMargin.replace("\n", " ")
+    },
+
+    // T13 — linear quality probe TRAINED IN-ENGINE: 24 unrolled iterations
+    // of fixed-point batch gradient descent distill the d11 heuristic
+    // quality gate into a smooth per-doc score (the classifier-based
+    // filtering step of FineWeb/DCLM-style pipelines). Value-exact across
+    // engines — see `probeBody` for the determinism engineering
+    // (quantized gradients, no exp(), linear CTE chain). The decision cut
+    // is the MARGIN MIDPOINT between the classes' rounded score extremes
+    // (max/min aggregates are order-free exact — no quantization needed;
+    // a degenerate single-class corpus falls back to 0.5). Output: per
+    // doc the weak label, the trained probe's score, and its decision.
+    "t13_quality_probe" -> q { d =>
+      val score = "b + w1*x1 + w2*x2 + w3*x3"
+      s"""${probeBody(d)},
+         |scored AS (SELECT doc_id, y, round($score, 6) AS score
+         |  FROM feats CROSS JOIN w$ProbeIters),
+         |thr AS (SELECT coalesce((max(CASE WHEN y = 0e0 THEN score END)
+         |    + min(CASE WHEN y = 1e0 THEN score END)) / 2e0, 5e-1) AS cut
+         |  FROM scored)
+         |SELECT doc_id, CAST(y AS INT) AS label, score,
+         |  CASE WHEN score >= cut THEN 1 ELSE 0 END AS pred
+         |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
+        .replace("\n", " ")
     },
 
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word

@@ -273,4 +273,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shardEx == 1, s"$shardEx shard exchanges\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("t13 quality probe: every GD iteration is a global partial hash agg; no sort-agg, no real cartesian") {
+    val p = plan("t13_quality_probe")
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the quantized gradient sums must combine map-side — 24 iterations x
+    // a shuffle of raw per-doc gradients would be the scale killer
+    assert(p.contains("partial_sum("), p.take(3000))
+    // weights frames join back as 1-row broadcasts (BroadcastNestedLoop
+    // over a single built row is the benign literal-row shape)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
