@@ -488,15 +488,19 @@ object TrainingQueries {
     // doc the weak label, the trained probe's score, and its decision.
     "t13_quality_probe" -> q { d =>
       val score = "b + w1*x1 + w2*x2 + w3*x3"
+      // the threshold aggregate CARRIES the weights through (max of a
+      // constant column), so the final select cross-joins ONE frame that
+      // holds both — a separate `scored` CTE would be referenced twice
+      // and inline the whole 25-scan weights chain twice (plan-audited)
       s"""${probeBody(d)},
-         |scored AS (SELECT doc_id, y, round($score, 6) AS score
-         |  FROM feats CROSS JOIN w$ProbeIters),
-         |thr AS (SELECT coalesce((max(CASE WHEN y = 0e0 THEN score END)
-         |    + min(CASE WHEN y = 1e0 THEN score END)) / 2e0, 5e-1) AS cut
-         |  FROM scored)
-         |SELECT doc_id, CAST(y AS INT) AS label, score,
-         |  CASE WHEN score >= cut THEN 1 ELSE 0 END AS pred
-         |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
+         |cut AS (SELECT
+         |  coalesce((max(CASE WHEN y = 0e0 THEN round($score, 6) END)
+         |    + min(CASE WHEN y = 1e0 THEN round($score, 6) END)) / 2e0, 5e-1) AS cut,
+         |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3
+         |  FROM feats CROSS JOIN w$ProbeIters)
+         |SELECT doc_id, CAST(y AS INT) AS label, round($score, 6) AS score,
+         |  CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
+         |FROM feats CROSS JOIN cut ORDER BY doc_id""".stripMargin
         .replace("\n", " ")
     },
 

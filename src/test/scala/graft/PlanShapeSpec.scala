@@ -284,5 +284,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // weights frames join back as 1-row broadcasts (BroadcastNestedLoop
     // over a single built row is the benign literal-row shape)
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // one corpus scan per aggregate (w0 count + 24 gradient iterations +
+    // the threshold agg) plus the final per-doc pass = 27. More means a
+    // CTE got multiply-referenced and inlined the whole chain again
+    // (the `scored` shape did exactly that: 52 scans)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 27, s"$scans corpus scans")
   }
 }
