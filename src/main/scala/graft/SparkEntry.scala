@@ -554,6 +554,18 @@ object SparkEntry {
       ops.Mix.appendStats(docs.filter(col("doc_id") % 4 === 3), path, epoch = 1L)
       ops.Mix.assign(docs, ops.Mix.rates(ops.Mix.openStats(s, path)))
         .orderBy("doc_id")
+    }),
+    // Quality probe SERVED (ops.Probe): the 24-iteration GD chain runs
+    // ONCE to fit and persist the five-number model; scoring is a single
+    // narrow pass with a broadcast model join. Trained on this same
+    // corpus, the served scores must equal the in-query t13 run — pinned
+    // against t13's OWN DuckDB oracle (value-exact, not rows-only).
+    "x37_quality_probe_served" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x37_probe_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Probe.writeModel(docs, path)
+      ops.Probe.score(docs, ops.Probe.openModel(s, path)).orderBy("doc_id")
     })
   )
 
@@ -609,5 +621,8 @@ object SparkEntry {
       ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck) +
       // the served mix must reproduce the corpus-scan query exactly —
       // same oracle as d14
-      ("x36_domain_mix_served" -> shared("d14_domain_mix")._2)
+      ("x36_domain_mix_served" -> shared("d14_domain_mix")._2) +
+      // the served probe must reproduce the in-query training run —
+      // same oracle as t13
+      ("x37_quality_probe_served" -> shared("t13_quality_probe")._2)
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Dialect, TrainingQueries}
+
+/** The quality probe SERVED: train once, persist the model, score every
+  * incoming shard with one narrow pass.
+  *
+  * `t13_quality_probe` trains and scores in a single query — right for the
+  * oracle gate, wrong for deployment: at 100 TB the classifier is fitted
+  * once (on a tranche) and then applied to every shard the pipeline
+  * ingests, without re-running the 24-iteration GD chain per decision.
+  * `train` executes the SAME Spark-rendered training SQL as t13
+  * (`TrainingQueries.probeModelSql`) and persists the five-number model
+  * (cut, b, w1..w3); `score` broadcasts the model frame into the
+  * feature pass rendered from the same `ProbeSql` builders — so a served
+  * score is value-identical to the in-query run, and x37 pins that
+  * against t13's own DuckDB oracle.
+  */
+object Probe {
+  private val Sp = Dialect.Spark
+
+  /** See Mix.parserParity — the shared expression strings carry regex
+    * literals that parse verbatim only under escapedStringLiterals. */
+  private def parserParity(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+
+  /** Fit the probe on a training tranche: runs the full fixed-point GD
+    * chain ONCE and returns the 1-row model frame (cut, b, w1, w2, w3).
+    * Registers the tranche as the `documents` view the training SQL
+    * reads — same per-call registration contract as the SQL tier. */
+  def train(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    parserParity(spark)
+    docs.createOrReplaceTempView("documents")
+    spark.sql(TrainingQueries.probeModelSql(Sp) +
+      " SELECT cut, b, w1, w2, w3 FROM cut")
+  }
+
+  /** Persist the trained model beside the data it will gate. */
+  def writeModel(docs: DataFrame, path: String): Unit =
+    train(docs).coalesce(1).write.mode("overwrite").parquet(path)
+
+  def openModel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Score a shard against a trained model: ONE narrow pass — features,
+    * a broadcast 1-row model join, the score and the decision. Emits
+    * t13's row shape (doc_id, label, score, pred). */
+  def score(docs: DataFrame, model: DataFrame): DataFrame = {
+    parserParity(docs.sparkSession)
+    val P = TrainingQueries.ProbeSql
+    docs.filter(col("text").isNotNull)
+      .selectExpr("doc_id", s"${P.x1(Sp)} AS x1", s"${P.x2(Sp)} AS x2",
+        s"${P.x3(Sp)} AS x3", s"${P.y(Sp)} AS y")
+      .crossJoin(broadcast(model))
+      .selectExpr("doc_id", "CAST(y AS INT) AS label",
+        s"round(${P.score}, 6) AS score",
+        s"CASE WHEN round(${P.score}, 6) >= cut THEN 1 ELSE 0 END AS pred")
+  }
+}

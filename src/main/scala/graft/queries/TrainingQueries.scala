@@ -218,10 +218,28 @@ object TrainingQueries {
     * Ends with CTEs `feats` (doc_id, x1..x3, y) and `w$iters` (trained
     * weights). */
   private val ProbeIters = 24
+
+  /** The probe's feature/label/score expressions as shared builders —
+    * the SQL tier (probeBody, both dialects) and the served operator form
+    * (`ops.Probe`, Spark dialect) render from the SAME strings, so a
+    * persisted model scores shards value-identically to the in-query
+    * training run. `score` assumes columns (b, w1..w3, x1..x3) in scope. */
+  private[graft] object ProbeSql {
+    def x1(d: D): String = s"least(${MixSql.ntok(d)}, 200) / 2e2"
+    def x2(d: D): String = "least(length(text), 1000) / 1e3"
+    def np(d: D): String = d.size("regexp_extract_all(text, '[.,;:!?]', 0)")
+    def x3(d: D): String =
+      s"least(${np(d)} * 1e1 / greatest(length(text), 1), 1e0)"
+    def y(d: D): String =
+      s"""CASE WHEN ${MixSql.ntok(d)} >= 10
+         |        AND ${np(d)} * 1e0 / nullif(length(text), 0) < 0.2
+         |        AND length(text) >= 150 THEN 1e0 ELSE 0e0 END"""
+        .stripMargin.replace("\n", " ")
+    val score: String = "b + w1*x1 + w2*x2 + w3*x3"
+  }
+
   private def probeBody(d: D): String = {
-    val nt = MixSql.ntok(d)
-    val np = d.size("regexp_extract_all(text, '[.,;:!?]', 0)")
-    val z = "b + w1*x1 + w2*x2 + w3*x3"
+    val z = ProbeSql.score
     def gsum(mult: String) =
       s"sum(CAST(floor(($z - y)$mult * 1e9) AS BIGINT))"
     val iters = (0 until ProbeIters).map { k =>
@@ -239,16 +257,28 @@ object TrainingQueries {
     // syntax and its per-iteration scan IS the honest distributed cost)
     val mat = if (d.isSpark) "" else "MATERIALIZED "
     s"""WITH feats AS $mat(SELECT doc_id,
-       |  least($nt, 200) / 2e2 AS x1,
-       |  least(length(text), 1000) / 1e3 AS x2,
-       |  least($np * 1e1 / greatest(length(text), 1), 1e0) AS x3,
-       |  CASE WHEN $nt >= 10
-       |        AND $np * 1e0 / nullif(length(text), 0) < 0.2
-       |        AND length(text) >= 150 THEN 1e0 ELSE 0e0 END AS y
+       |  ${ProbeSql.x1(d)} AS x1,
+       |  ${ProbeSql.x2(d)} AS x2,
+       |  ${ProbeSql.x3(d)} AS x3,
+       |  ${ProbeSql.y(d)} AS y
        |  FROM documents WHERE text IS NOT NULL),
        |w0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3,
        |  count(*) * 1e0 AS n FROM feats),
        |$iters""".stripMargin.replace("\n", " ")
+  }
+
+  /** probeBody + the margin-midpoint decision cut, the full trained model
+    * in one frame: (cut, b, w1, w2, w3). The Spark render is what
+    * `ops.Probe.train` executes to fit and persist the model. */
+  private[graft] def probeModelSql(d: D): String = {
+    val score = ProbeSql.score
+    s"""${probeBody(d)},
+       |cut AS (SELECT
+       |  coalesce((max(CASE WHEN y = 0e0 THEN round($score, 6) END)
+       |    + min(CASE WHEN y = 1e0 THEN round($score, 6) END)) / 2e0, 5e-1) AS cut,
+       |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3
+       |  FROM feats CROSS JOIN w$ProbeIters)""".stripMargin
+      .replace("\n", " ")
   }
 
   /** Shared CTE chain for the domain-mixture sampler (d14 + t11): per-doc
@@ -487,17 +517,12 @@ object TrainingQueries {
     // a degenerate single-class corpus falls back to 0.5). Output: per
     // doc the weak label, the trained probe's score, and its decision.
     "t13_quality_probe" -> q { d =>
-      val score = "b + w1*x1 + w2*x2 + w3*x3"
+      val score = ProbeSql.score
       // the threshold aggregate CARRIES the weights through (max of a
       // constant column), so the final select cross-joins ONE frame that
       // holds both — a separate `scored` CTE would be referenced twice
       // and inline the whole 25-scan weights chain twice (plan-audited)
-      s"""${probeBody(d)},
-         |cut AS (SELECT
-         |  coalesce((max(CASE WHEN y = 0e0 THEN round($score, 6) END)
-         |    + min(CASE WHEN y = 1e0 THEN round($score, 6) END)) / 2e0, 5e-1) AS cut,
-         |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3
-         |  FROM feats CROSS JOIN w$ProbeIters)
+      s"""${probeModelSql(d)}
          |SELECT doc_id, CAST(y AS INT) AS label, round($score, 6) AS score,
          |  CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
          |FROM feats CROSS JOIN cut ORDER BY doc_id""".stripMargin

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Probe
+
+/** The served quality probe: a persisted model must reproduce the
+  * in-query t13 run on its training corpus (x37 pins that against the
+  * DuckDB oracle in the driver gate) AND score shards it never saw —
+  * the deployment shape the driver query can't exercise. */
+class ProbeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("persisted model reproduces the in-query training run exactly") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_rt_${System.nanoTime()}").getAbsolutePath
+    Probe.writeModel(docs, path)
+    val served = Probe.score(docs, Probe.openModel(spark, path))
+    val inQuery = SparkEntry.queries("t13_quality_probe")(spark, sf)
+    assert(served.exceptAll(inQuery).isEmpty && inQuery.exceptAll(served).isEmpty)
+    // the model is five numbers — rereading it must be byte-stable
+    val m1 = Probe.openModel(spark, path).collect().toSeq
+    val m2 = Probe.openModel(spark, path).collect().toSeq
+    assert(m1 == m2 && m1.size == 1)
+  }
+
+  test("a model trained on one tranche scores UNSEEN shards: one narrow pass, sane outputs") {
+    val trainSet = docs.filter(col("doc_id") % 3 =!= 0)
+    val unseen = docs.filter(col("doc_id") % 3 === 0)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_tr_${System.nanoTime()}").getAbsolutePath
+    Probe.writeModel(trainSet, path)
+    val scored = Probe.score(unseen, Probe.openModel(spark, path))
+    val n = unseen.filter(col("text").isNotNull).count()
+    assert(scored.count() == n && n > 0)
+    // scoring never trains: the plan contains no aggregate at all —
+    // features + broadcast model join + projection only
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      plan.take(2000))
+    // the probe's signal survives transfer: unseen docs the d11 gate
+    // accepts score strictly above the ones it rejects, on average
+    val means = scored.groupBy("label")
+      .agg(org.apache.spark.sql.functions.avg("score").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(means(1) > means(0), means.toString)
+  }
+}
