@@ -35,10 +35,19 @@ wait
 T1=$(date +%s.%N)
 cat /tmp/ex_4n_*.json
 
+# N again AFTER the 4N phase: the solo baseline varies ~14% across
+# otherwise-identical clean windows (thermal/turbo state the guest can't
+# see), which swings the ratio in both directions. Bracketing the 4N
+# phase with two N samples and averaging cancels the drift.
+echo "== N (post): one local[8] executor JVM =="
+run_one 8 "$REP" /tmp/ex_n2.json
+cat /tmp/ex_n2.json
+
 python3 - "$T0" "$T1" <<'EOF'
 import json, sys
 t0, t1 = float(sys.argv[1]), float(sys.argv[2])
 n = json.load(open('/tmp/ex_n.json'))
+n2 = json.load(open('/tmp/ex_n2.json'))
 four = [json.load(open(f'/tmp/ex_4n_{i}.json')) for i in (1, 2, 3, 4)]
 # two estimators per JVM (warmup, then 3 timed passes, all four JVMs
 # running simultaneously):
@@ -56,6 +65,12 @@ print(f"4N(four executors, concurrent): {agg_min:.0f} docs/s aggregate (median {
 print(f"4N window wall: {t1 - t0:.1f}s incl. startup+warmup (context only)")
 print(f"executors_scaling_efficiency_min={eff_min:.3f}")
 print(f"executors_scaling_efficiency_median={eff_med:.3f}")
+# bracketed estimator: baseline = mean of the pre- and post-4N N samples
+nb_min = (n_min + n2['docs_per_sec']) / 2
+nb_med = (n_med + n2.get('median_docs_per_sec', n2['docs_per_sec'])) / 2
+print(f"N(post): {n2['docs_per_sec']:.0f} docs/s (median {n2.get('median_docs_per_sec', 0):.0f})")
+print(f"executors_scaling_efficiency_bracketed_min={agg_min / (4 * nb_min):.3f}")
+print(f"executors_scaling_efficiency_bracketed_median={agg_med / (4 * nb_med):.3f}")
 json.dump({'n_docs_per_sec': n_min, 'n_median_docs_per_sec': n_med,
            'agg4_docs_per_sec': agg_min, 'agg4_median_docs_per_sec': agg_med,
            'efficiency_min': eff_min, 'efficiency_median': eff_med,
