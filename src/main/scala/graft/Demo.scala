@@ -191,6 +191,14 @@ object Demo {
     println(s"[demo] quality probe (24 GD iters in-engine): " +
       s"${probe.getLong(0)}/${probe.getLong(1)} label agreement, " +
       f"scores ${probe.getDouble(2)}%.3f..${probe.getDouble(3)}%.3f")
+    // the whole curation loop: every serving structure composed
+    val cur = SparkEntry.queries("x38_curation_e2e")(spark, sfDir)
+      .groupBy("decision").agg(
+        org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("n_copies").as("c"))
+      .orderBy("decision")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[demo] curation loop (bootstrap indexes -> curate shard): $cur")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")

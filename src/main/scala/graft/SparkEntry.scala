@@ -566,6 +566,33 @@ object SparkEntry {
         s"graft_x37_probe_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       ops.Probe.writeModel(docs, path)
       ops.Probe.score(docs, ops.Probe.openModel(s, path)).orderBy("doc_id")
+    }),
+    // The whole incremental curation loop (pipeline.Curation): bootstrap
+    // every serving structure on the older tranche, then curate the
+    // newest tranche as an incoming shard — exact/near dedup against the
+    // persisted index, 13-gram decontamination vs the bench split, the
+    // served probe's quality gate, and served-mix copy counts, in the
+    // d11 first-hit order. Rows-only by harness contract (the minhash
+    // probe is xxhash64); every stage is individually oracle- or
+    // spec-gated, and CurationSpec pins the composition incl. the
+    // accept-then-catch property.
+    "x38_curation_e2e" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 3)
+      val shard = docs.filter(col("doc_id") % 4 === 3)
+      val hex = Integer.toHexString(dir.hashCode)
+      val ixs = pipeline.Curation.Indexes(
+        minhashTable = s"mh_x38_$hex",
+        statsPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x38_stats_$hex").getAbsolutePath,
+        modelPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x38_model_$hex").getAbsolutePath)
+      pipeline.Curation.bootstrap(corpus, ixs)
+      val bench = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("text").as("snippet"))
+      pipeline.Curation.curateShard(s, shard, corpus, ixs, bench, "snippet")
+        .orderBy("doc_id")
     })
   )
 

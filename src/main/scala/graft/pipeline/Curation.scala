@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Dedup, Mix, Probe}
+
+/** The round's serving structures composed into the incremental curation
+  * loop a 100 TB pipeline actually runs: bootstrap the persisted state
+  * once from the existing corpus, then for every incoming shard decide
+  * per document — without ever re-reading the corpus text except for
+  * id-selective near-dup verification — and fold the keepers back in.
+  *
+  * Decision order (first hit wins, mirroring the d11 layer):
+  *   1. exact_dup      in-shard md5 content key, keeper = min doc_id
+  *                     (a corpus-level exact clone is a jaccard-1.0 pair
+  *                     the minhash probe catches as near_dup);
+  *   2. near_dup       minhash-index candidates (shard-vs-corpus AND
+  *                     shard-vs-shard, combined bucket cap at probe time)
+  *                     verified by word-set jaccard — the loser is the
+  *                     shard doc against any corpus partner (corpus
+  *                     seniority), or the larger id of a shard pair;
+  *   3. contaminated   13-gram overlap with the benchmark set;
+  *   4. low_quality    the SERVED probe's decision (persisted model, one
+  *                     aggregate-free pass);
+  *   5. keep           with n_copies from the SERVED mix rates as of the
+  *                     pre-accept stats.
+  * `acceptShard` folds the keepers into the minhash index and the domain
+  * stats as one epoch (the probe model retrains on a schedule, not per
+  * shard). Per-shard cost is shard-scale everywhere: the corpus appears
+  * only as the bucketed index probe and the id-selective text fetch for
+  * jaccard verification. */
+object Curation {
+
+  /** The persisted serving state one curated corpus keeps. */
+  final case class Indexes(minhashTable: String, statsPath: String,
+                           modelPath: String)
+
+  /** Build all serving state ONCE from the existing corpus. */
+  def bootstrap(corpus: DataFrame, ixs: Indexes): Unit = {
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", ixs.minhashTable)
+    Mix.writeStats(corpus, ixs.statsPath)
+    Probe.writeModel(corpus, ixs.modelPath)
+  }
+
+  /** Curate one shard: per shard doc (doc_id, decision, score, n_copies).
+    * `corpus` supplies text for jaccard verification only — the join is
+    * candidate-id-selective, never a corpus scan. CONTRACT: `corpus` must
+    * hold text for EVERY doc the minhash index knows — i.e. the caller's
+    * corpus table as grown by accepted shards (accept = append keepers to
+    * the corpus table AND fold the indexes; a candidate pair whose
+    * partner text is missing cannot be verified and is dropped). Shard
+    * ids must be disjoint from corpus ids (the index contract). */
+  def curateShard(spark: SparkSession, shard: DataFrame, corpus: DataFrame,
+                  ixs: Indexes, bench: DataFrame, benchTextCol: String,
+                  jaccardThreshold: Double = 0.5,
+                  maxBucket: Int = 1000): DataFrame = {
+    val ids = shard.select(col("doc_id"))
+    // 1. in-shard exact dup: d01/d11 content key, min id keeps
+    val exactLosers = shard
+      .select(col("doc_id"), md5(expr("substr(text, 1, 24)")).as("key"))
+      .withColumn("keeper", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    // 2. near dup: index probe -> jaccard verify on shard+corpus texts
+    val idx = Dedup.openMinhashIndex(spark, ixs.minhashTable)
+    val cands = Dedup.incrementalCandidates(shard, "doc_id", "text", idx,
+      maxBucket = maxBucket)
+    val texts = shard.select(col("doc_id"), col("text"))
+      .unionByName(corpus.select(col("doc_id"), col("text")))
+    val verified = Dedup.jaccardOnCandidates(texts, cands, "doc_id", "text",
+      jaccardThreshold)
+    val inShard = ids.withColumnRenamed("doc_id", "sid")
+    val nearLosers = verified
+      .join(broadcast(inShard.withColumnRenamed("sid", "a_s")),
+        col("doc_a") === col("a_s"), "left")
+      .join(broadcast(inShard.withColumnRenamed("sid", "b_s")),
+        col("doc_b") === col("b_s"), "left")
+      .select(when(col("a_s").isNotNull && col("b_s").isNotNull,
+          greatest(col("doc_a"), col("doc_b")))          // shard pair: larger loses
+        .when(col("a_s").isNotNull, col("doc_a"))        // corpus partner: shard loses
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("is_near", lit(true))
+    // 3. benchmark contamination (13-gram rule)
+    val contam = Decontaminate.contaminated(shard, "doc_id", "text",
+        bench, benchTextCol)
+      .select(col("doc_id"), lit(true).as("is_contam"))
+    // 4. served quality probe; 5. served mix copy counts
+    val scored = Probe.score(shard, Probe.openModel(spark, ixs.modelPath))
+      .select(col("doc_id"), col("score"), col("pred"))
+    val mixed = Mix.assign(shard, Mix.rates(Mix.openStats(spark, ixs.statsPath)))
+      .select(col("doc_id"), col("n_copies"))
+    ids
+      .join(exactLosers, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
+      .join(mixed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(col("is_contam"), "contaminated")
+          .when(col("pred") === 0, "low_quality")
+          .otherwise("keep").as("decision"),
+        col("score"),
+        // a keeper from a domain the stats have never seen (Mix.assign
+        // inner-joins the rates) defaults to one copy — new domains enter
+        // at natural rate until the next accept folds them into the stats
+        when(col("is_exact").isNotNull || col("is_near").isNotNull ||
+            col("is_contam").isNotNull || col("pred") === 0, 0)
+          .otherwise(coalesce(col("n_copies"), lit(1))).as("n_copies"))
+  }
+
+  /** Fold an accepted shard's keepers into the serving state as one
+    * epoch: the minhash index grows (future shards dedup against these
+    * docs) and the domain stats shift the mix. Both appends are
+    * replay-idempotent under the same epoch. */
+  def acceptShard(keepers: DataFrame, ixs: Indexes, epoch: Long): Unit = {
+    Dedup.appendToMinhashIndex(keepers, "doc_id", "text", ixs.minhashTable,
+      epoch)
+    Mix.appendStats(keepers, ixs.statsPath, epoch)
+  }
+}
