@@ -495,6 +495,17 @@ object SparkEntry {
       ops.Decontaminate.selfDupScore(docs, "doc_id", "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // ExactSubstr-style duplicated-span REMOVAL (the action form of x29):
+    // shared 13-gram runs survive only in the min-id doc; every other doc
+    // is rebuilt without the covered words. Value-exact oracle
+    // (TrainingQueries.X39OracleDuck) — the rebuilt TEXT itself is
+    // hash-compared against an independent DuckDB re-derivation.
+    "x39_substr_dedup" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      ops.Decontaminate.removeDupSpans(docs, "doc_id", "ctext", n = 13)
+        .orderBy("doc_id")
+    }),
     // The full north-rule flow in one operator: positioned lines -> layout
     // -> interleaved spans -> contract extraction. Value-exact oracle
     // (LayoutQueries.X23OracleDuck): the l0* layout CTEs composed with the
@@ -566,6 +577,20 @@ object SparkEntry {
         s"graft_x37_probe_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       ops.Probe.writeModel(docs, path)
       ops.Probe.score(docs, ops.Probe.openModel(s, path)).orderBy("doc_id")
+    }),
+    // Bigram LM SERVED (ops.Lm): the per-language character-bigram model
+    // is fitted and persisted ONCE (two hash aggs to KB-sized probability
+    // tables), then any shard scores in one narrow pass with broadcast
+    // model joins. Trained on this same corpus the served scores must
+    // equal the in-query t14 run — pinned against t14's OWN DuckDB oracle
+    // (value-exact, not rows-only). LmSpec covers the unseen-shard
+    // smoothing fallbacks the gate corpus never exercises.
+    "x40_lm_served" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x40_lm_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Lm.writeModel(docs, path)
+      ops.Lm.score(docs, ops.Lm.openModel(s, path)).orderBy("doc_id")
     }),
     // The whole incremental curation loop (pipeline.Curation): bootstrap
     // every serving structure on the older tranche, then curate the
@@ -645,11 +670,15 @@ object SparkEntry {
       ("x27_contamination_score" -> TrainingQueries.X27OracleDuck) +
       ("x33_decontaminate_bloom" -> TrainingQueries.X18OracleDuck) +
       ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck) +
+      ("x39_substr_dedup" -> TrainingQueries.X39OracleDuck) +
       ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck) +
       // the served mix must reproduce the corpus-scan query exactly —
       // same oracle as d14
       ("x36_domain_mix_served" -> shared("d14_domain_mix")._2) +
       // the served probe must reproduce the in-query training run —
       // same oracle as t13
-      ("x37_quality_probe_served" -> shared("t13_quality_probe")._2)
+      ("x37_quality_probe_served" -> shared("t13_quality_probe")._2) +
+      // the served LM must reproduce the in-query scoring run —
+      // same oracle as t14
+      ("x40_lm_served" -> shared("t14_lm_score")._2)
 }

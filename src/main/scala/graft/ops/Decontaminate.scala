@@ -147,6 +147,68 @@ object Decontaminate {
         round(col("n_dup") * lit(1e0) / greatest(col("n_grams"), lit(1)), 6))
   }
 
+  /** ExactSubstr-style duplicated-span REMOVAL — the action form of
+    * `selfDupScore` (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every word n-gram appearing in ≥ 2
+    * documents keeps its occurrences only in the smallest doc_id that
+    * contains it; in every other document the words covered by such a
+    * gram are cut out and the text is rebuilt from the surviving words.
+    * Doc-level dedup falls out as the degenerate case (a full clone of a
+    * smaller id empties); the common case is surgical — licence headers,
+    * templated boilerplate, and quoted passages vanish from the copies
+    * while the keeper and all unique prose survive verbatim.
+    *
+    * Output text is word-normalized (lowercased alnum runs joined by one
+    * space — the same C4-style normalization every gram consumer here
+    * uses); n_removed counts cut words. Deterministic: the keeper rule is
+    * min(id), no RNG, no floats.
+    *
+    * Scale shape: tokens and grams are one narrow explode each (words
+    * bound BEFORE the gram lambda — the O(grams) re-evaluation trap);
+    * shared-gram resolution is a gh-keyed hash agg; marked positions come
+    * back through a gh equi-join; coverage is ONE window per doc (running
+    * max of marked-interval ends — never an interval theta-join); the
+    * rebuild is a per-doc hash agg over an array_sort, not a global sort.
+    * Per-doc window state is bounded by words-per-doc, the same
+    * mega-doc-salting assumption as the rest of the span tier.
+    * Output: (idCol, n_words, n_removed, text_clean). */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 13): DataFrame = {
+    require(n >= 2, s"n=$n: a 1-gram rule removes any shared word — " +
+      "use a real n-gram width")
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+    val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val grams = w.select(col("id"),
+      posexplode(gramsFromWords(col("w"), n)).as(Seq("pos", "gh")))
+    val shared = grams.select("id", "gh").distinct()
+      .groupBy("gh").agg(min("id").as("keeper"), count("*").as("nd"))
+      .filter(col("nd") >= 2).select("gh", "keeper")
+    // each (id, pos) carries exactly one gram, so this join cannot fan out
+    val marked = grams.join(shared, "gh")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), col("pos"), lit(true).as("mk"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = tok.join(marked, Seq("id", "pos"), "left")
+      .withColumn("cov_end", max(when(col("mk"), col("pos") + n)).over(win))
+    val kept = cov.filter(col("cov_end").isNull || col("cov_end") <= col("pos"))
+    val nw = tok.groupBy("id").agg(count("*").cast("int").as("n_words"))
+    val agg = kept.groupBy("id").agg(
+      count("*").cast("int").as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        s => s.getField("word")), " ").as("text_clean"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(nw, Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_words"), lit(0)).as("n_words"),
+        (coalesce(col("n_words"), lit(0)) - coalesce(col("n_kept"), lit(0)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Graded form of `contaminated`: EVERY corpus doc scored with its
     * distinct-gram count, the distinct overlapping-gram count, and the
     * overlap ratio — the threshold-based filtering shape (drop when

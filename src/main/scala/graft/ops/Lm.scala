@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Dialect, TrainingQueries}
+
+/** The n-gram language model SERVED: train the per-language character-bigram
+  * LM once, persist its count-derived probability tables, score every
+  * incoming shard with one narrow pass — the CCNet deployment shape (fit an
+  * LM on a reference tranche, perplexity-filter the crawl with it).
+  *
+  * `t14_lm_score` trains and scores in a single query — right for the
+  * oracle gate, wrong for deployment: at 100 TB the LM is fitted once and
+  * then applied to every shard without re-aggregating the corpus. `train`
+  * derives the quantized probability tables with the SAME `LmSql` shared
+  * expression builders the SQL tier renders, so a served score is
+  * value-identical to the in-query run on the training corpus — x40 pins
+  * that against t14's own DuckDB oracle. Scoring an UNSEEN shard exercises
+  * the add-one-smoothing fallbacks a single-query run never needs: an
+  * unseen bigram under a seen prefix scores floor(1e9/(c1n+37)) (the
+  * prefix-default table), an unseen prefix scores floor(1e9/37).
+  *
+  * Scale shape: training is one explode + two hash aggs down to a
+  * ≤ #langs × 37² model frame; scoring joins per-doc bigram COUNTS (not
+  * positions) against the broadcast model — no per-char row explosion
+  * survives past the first aggregate, and the model tables are KB-sized
+  * at any corpus size.
+  */
+object Lm {
+  private val Sp = Dialect.Spark
+
+  /** floor(1e9 / 37): the quantized probability of a bigram whose prefix
+    * character was never seen in training (c2 = c1n = 0). */
+  val UnseenPrefixQ: Long = 27027027L
+
+  /** See Mix.parserParity — the shared expression strings carry regex
+    * literals that parse verbatim only under escapedStringLiterals. */
+  private def parserParity(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+
+  /** Per-doc bigram counts (doc_id, lang, bg, cnt) over the shared
+    * normalization — the first aggregate of both train and score. */
+  private def bigramCounts(docs: DataFrame): DataFrame = {
+    parserParity(docs.sparkSession)
+    val L = TrainingQueries.LmSql
+    docs.selectExpr("doc_id", "lang", s"${L.norm(Sp)} AS s")
+      .selectExpr("doc_id", "lang", s"${L.bigrams(Sp)} AS bg")
+      .groupBy("doc_id", "lang", "bg")
+      .agg(count("*").as("cnt"))
+  }
+
+  /** The persisted model: quantized bigram probabilities plus the
+    * unseen-bigram prefix defaults. */
+  final case class Model(bigrams: DataFrame, prefixes: DataFrame)
+
+  /** Fit the LM on a training tranche: two hash aggs to the per-language
+    * bigram/prefix count tables, then the quantized probability per seen
+    * bigram and the smoothing default per seen prefix. */
+  def train(docs: DataFrame): Model = {
+    val bgc = bigramCounts(docs)
+    val mdl = bgc.groupBy("lang", "bg").agg(sum("cnt").as("c2"))
+    val pre = mdl.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("c2").as("c1n"))
+    val q = mdl.join(pre.withColumnRenamed("lang", "plang"),
+        mdl("lang") === col("plang") && substring(mdl("bg"), 1, 1) === col("c1"))
+      .selectExpr("lang", "bg", s"${TrainingQueries.LmSql.q} AS q")
+    val qd = pre.selectExpr("lang", "c1",
+      "CAST(floor(1e9 / (c1n + 37)) AS BIGINT) AS qd")
+    Model(q, qd)
+  }
+
+  /** Persist the trained model beside the data it will gate. */
+  def writeModel(docs: DataFrame, path: String): Unit = {
+    val m = train(docs)
+    m.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
+    m.prefixes.coalesce(1).write.mode("overwrite").parquet(s"$path/prefixes")
+  }
+
+  def openModel(spark: SparkSession, path: String): Model =
+    Model(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/prefixes"))
+
+  /** Score a shard against a trained model: per-doc bigram counts joined
+    * to the broadcast model tables, smoothing fallbacks for unseen
+    * bigrams/prefixes, one hash agg per doc. Emits t14's row shape
+    * (doc_id, lang, n_pos, sum_q, lm_score). */
+  def score(docs: DataFrame, model: Model): DataFrame = {
+    val scored = bigramCounts(docs)
+      .join(broadcast(model.bigrams), Seq("lang", "bg"), "left")
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .join(broadcast(model.prefixes), Seq("lang", "c1"), "left")
+      .withColumn("qq", coalesce(col("q"), col("qd"), lit(UnseenPrefixQ)))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_pos"), sum(col("cnt") * col("qq")).as("sum_q"))
+    docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "coalesce(n_pos, CAST(0 AS BIGINT)) AS n_pos",
+        "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
+        s"${TrainingQueries.LmSql.score("coalesce(sum_q, CAST(0 AS BIGINT))", "coalesce(n_pos, CAST(0 AS BIGINT))")} AS lm_score")
+  }
+}

@@ -168,6 +168,42 @@ object TrainingQueries {
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for x39_substr_dedup — duplicated-span removal
+    * (Decontaminate.removeDupSpans): an independent re-derivation of the
+    * keeper rule, the marked gram starts, the running-max interval
+    * coverage, and the word-level text rebuild, over gram STRINGS (the
+    * Spark side marks via xxhash64 gram keys — identical coverage absent
+    * collisions, the x18/x29 precedent; the rebuilt TEXT is then
+    * hash-compared, so a collision would fail the gate, not hide). */
+  val X39OracleDuck: String = {
+    val ctext = Dialect.Ctext
+    s"""WITH base AS (SELECT doc_id, $ctext AS ctext FROM documents),
+       |w AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w FROM base),
+       |tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS word FROM w),
+       |g AS (SELECT doc_id, unnest(range(0, greatest(len(w) - 12, 0))) AS pos,
+       |  unnest(CASE WHEN len(w) >= 13
+       |    THEN list_transform(range(1, len(w) - 11), i -> array_to_string(w[i:i+12], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gram FROM w),
+       |sh AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (SELECT g.doc_id, g.pos FROM g JOIN sh ON g.gram = sh.gram
+       |  WHERE g.doc_id <> sh.keeper),
+       |cov AS (SELECT t.doc_id, t.pos, t.word,
+       |  max(CASE WHEN m.pos IS NOT NULL THEN m.pos + 13 END)
+       |    OVER (PARTITION BY t.doc_id ORDER BY t.pos ROWS UNBOUNDED PRECEDING) AS cov_end
+       |  FROM tok t LEFT JOIN mk m ON t.doc_id = m.doc_id AND t.pos = m.pos),
+       |kept AS (SELECT doc_id, pos, word FROM cov WHERE cov_end IS NULL OR cov_end <= pos),
+       |nw AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words FROM tok GROUP BY doc_id),
+       |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+       |  string_agg(word, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(nw.n_words, 0) AS n_words,
+       |  coalesce(nw.n_words, 0) - coalesce(agg.n_kept, 0) AS n_removed,
+       |  coalesce(agg.text_clean, '') AS text_clean
+       |FROM base b LEFT JOIN nw ON b.doc_id = nw.doc_id
+       |LEFT JOIN agg ON b.doc_id = agg.doc_id
+       |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** The d14 mixture arithmetic as shared expression strings: the SQL tier
     * (mixBody, both dialects) and the served operator form (`ops.Mix`,
     * Spark dialect) render from the SAME builders, so their outputs are
@@ -195,6 +231,37 @@ object TrainingQueries {
       s"""CAST(floor(rate_bp * 1e0 / 10000) AS INT)
          |    + CASE WHEN ${d.h32("'mix|' || CAST(doc_id AS STRING)")} % 10000 < rate_bp % 10000 THEN 1 ELSE 0 END"""
         .stripMargin.replace("\n", " ")
+  }
+
+  /** The t14 bigram-LM arithmetic as shared expression strings: the SQL
+    * tier (t14_lm_score, both dialects) and the served operator form
+    * (`ops.Lm`, Spark dialect) render from the SAME builders, so a
+    * persisted model scores shards value-identically to the in-query run
+    * — x40 pins the served form against t14's DuckDB oracle. Alphabet
+    * after normalization is [a-z0-9 ] = 37 symbols (the add-one-smoothing
+    * denominator). */
+  private[graft] object LmSql {
+    /** C4-style normalized text: lowercased alnum runs joined by ' '. */
+    def norm(d: D): String =
+      if (d.isSpark)
+        "array_join(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '), x -> x <> ''), ' ')"
+      else
+        "coalesce(array_to_string(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> ''), ' '), '')"
+    /** Character-bigram explode over a normalized string column `s`
+      * (empty for strings shorter than 2 — Spark's sequence(1, 0) would
+      * DESCEND, so the CASE guard is load-bearing). */
+    def bigrams(d: D): String =
+      if (d.isSpark)
+        "explode(CASE WHEN length(s) >= 2 THEN transform(sequence(1, length(s) - 1), i -> substr(s, i, 2)) ELSE CAST(array() AS array<string>) END)"
+      else
+        "unnest(CASE WHEN len(s) >= 2 THEN list_transform(range(1, len(s)), i -> substr(s, CAST(i AS INT), 2)) ELSE CAST([] AS VARCHAR[]) END)"
+    /** Quantized smoothed bigram probability — columns (c2, c1n) in scope:
+      * floor((c2+1)/(c1n+37) * 1e9) as BIGINT, one correctly-rounded IEEE
+      * division, identical in both engines. */
+    val q: String = "CAST(floor((c2 + 1) * 1e9 / (c1n + 37)) AS BIGINT)"
+    /** Mean per-position probability from the exact BIGINT sum. */
+    def score(sumQ: String, nPos: String): String =
+      s"round($sumQ * 1e0 / greatest($nPos, 1) / 1e9, 6)"
   }
 
   /** Distributed classifier TRAINING as dialect-shared SQL: unrolled
@@ -527,6 +594,42 @@ object TrainingQueries {
          |  CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
          |FROM feats CROSS JOIN cut ORDER BY doc_id""".stripMargin
         .replace("\n", " ")
+    },
+
+    // T14 — in-engine n-gram language-model quality scoring (the CCNet
+    // shape: a per-language character-bigram LM with add-one smoothing,
+    // trained on the corpus itself, scoring each doc's typicality for ITS
+    // language — gibberish and encoding junk score low). Value-exactness
+    // engineering mirrors t13: per-position probabilities are QUANTIZED to
+    // BIGINT (floor(P * 1e9)) so the distributed per-doc sums are
+    // order-free exact at any parallelism; P = (c2+1)/(c1n+37) is one
+    // correctly-rounded IEEE division per bigram type, identical in both
+    // engines. Scale shape: training is ONE explode + two hash aggs down
+    // to a <= #langs x 37^2 model frame (broadcast back); scoring joins
+    // per-doc bigram COUNTS (not positions) against it — no per-char row
+    // explosion survives past the first agg. The served form (ops.Lm /
+    // x40) persists the model and scores shards from it, pinned on this
+    // same oracle.
+    "t14_lm_score" -> q { d =>
+      s"""WITH norm AS (SELECT doc_id, lang, ${LmSql.norm(d)} AS s FROM documents),
+         |bg AS (SELECT doc_id, lang, ${LmSql.bigrams(d)} AS bg FROM norm),
+         |bgc AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY doc_id, lang, bg),
+         |mdl AS (SELECT lang, bg, CAST(sum(cnt) AS BIGINT) AS c2
+         |  FROM bgc GROUP BY lang, bg),
+         |pre AS (SELECT lang, substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+         |  FROM mdl GROUP BY lang, substr(bg, 1, 1)),
+         |qt AS (SELECT m.lang, m.bg, ${LmSql.q} AS q
+         |  FROM mdl m JOIN pre p ON m.lang = p.lang AND substr(m.bg, 1, 1) = p.c1),
+         |sc AS (SELECT b.doc_id, CAST(sum(b.cnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(b.cnt * q.q) AS BIGINT) AS sum_q
+         |  FROM bgc b JOIN qt q ON b.lang = q.lang AND b.bg = q.bg
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, d.lang, coalesce(sc.n_pos, 0) AS n_pos,
+         |  coalesce(sc.sum_q, 0) AS sum_q,
+         |  ${LmSql.score("coalesce(sc.sum_q, 0)", "coalesce(sc.n_pos, 0)")} AS lm_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
     },
 
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word

@@ -165,6 +165,82 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._2 < v._1))
   }
 
+  /** Driver-side reference for removeDupSpans: mark every word covered by
+    * a cross-doc-shared n-gram whose keeper (min id) is another doc, then
+    * rebuild from the survivors. */
+  private def removeRef(docs: Seq[(Long, String)], n: Int): Map[Long, (Int, Int, String)] = {
+    val words = docs.map { case (id, t) => id -> norm(t) }
+    val owners = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, w) <- words; if w.size >= n; g <- w.sliding(n))
+      owners.getOrElseUpdate(g.mkString(" "), scala.collection.mutable.Set.empty) += id
+    val keeper = owners.collect { case (g, ids) if ids.size >= 2 => g -> ids.min }
+    words.map { case (id, w) =>
+      val covered = Array.fill(w.size)(false)
+      for (i <- 0 to w.size - n; if w.size >= n) {
+        val g = w.slice(i, i + n).mkString(" ")
+        keeper.get(g) match {
+          case Some(k) if k != id => (i until i + n).foreach(covered(_) = true)
+          case _ =>
+        }
+      }
+      val kept = w.zipWithIndex.collect { case (word, i) if !covered(i) => word }
+      id -> ((w.size, w.size - kept.size, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("removeDupSpans: keeper keeps the run, the copy loses exactly it, a clone empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb x y z w v cc dd ee ff gg hh"), // min id owning the shared run
+      (2L, "pp qq x y z w v rr ss tt uu"),       // loses the 5-word run only
+      (3L, "one two three four five six"),        // unique — untouched
+      (4L, "dup1 dup2 dup3 dup4 dup5"),           // keeper of the clone pair
+      (5L, "dup1 dup2 dup3 dup4 dup5"),           // full clone — empties
+      (6L, "hi"))                                 // shorter than n — untouched
+    val out = Decontaminate.removeDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((13, 0, "aa bb x y z w v cc dd ee ff gg hh")))
+    assert(out(2L) == ((11, 5, "pp qq rr ss tt uu")))
+    assert(out(3L) == ((6, 0, "one two three four five six")))
+    assert(out(4L) == ((5, 0, "dup1 dup2 dup3 dup4 dup5")))
+    assert(out(5L) == ((5, 5, "")))
+    assert(out(6L) == ((1, 0, "hi")))
+    assert(out === removeRef(docs, 3))
+  }
+
+  test("removeDupSpans == brute-force reference on the real corpus (n=13)") {
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    val docsDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+    val docs = docsDf.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expected = removeRef(docs, 13)
+    val got = Decontaminate.removeDupSpans(docsDf, "doc_id", "ctext")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got === expected)
+    // the planted boilerplate must actually trigger removals...
+    assert(got.values.exists(_._2 > 0), "expected duplicated spans removed")
+    // ...while unique prose survives (nothing removed from SOME docs)
+    assert(got.values.exists(v => v._2 == 0 && v._1 > 0))
+    // and the result is repartition-invariant
+    val got17 = Decontaminate.removeDupSpans(docsDf.repartition(17), "doc_id", "ctext")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got17 === got)
+  }
+
+  test("removeDupSpans plan: equi-joins only, no cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val p = Decontaminate.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("plan: gram-hash equi-join, no cartesian") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h i j k l m n o")).toDF("doc_id", "text")

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Lm
+
+/** The served bigram LM: a persisted model must reproduce the in-query
+  * t14 run on its training corpus (x40 pins that against the DuckDB
+  * oracle in the driver gate) AND score shards it never saw with the
+  * add-one-smoothing fallbacks — verified against an exact driver-side
+  * reference that mirrors the quantized arithmetic bit for bit. */
+class LmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def normRef(t: String): String =
+    t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty).mkString(" ")
+
+  private def bigramsRef(s: String): Seq[String] =
+    if (s.length < 2) Seq.empty
+    else (0 until s.length - 1).map(i => s.substring(i, i + 2))
+
+  /** HALF_UP like Spark's round() (ties away from zero). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact reference scorer: quantized q per bigram from the train
+    * tranche's counts, with the same smoothing fallbacks. */
+  private def scoreRef(train: Seq[(String, String)], shard: Seq[(Long, String, String)])
+      : Map[Long, (Long, Long, Double)] = {
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((lang, t) <- train; bg <- bigramsRef(normRef(t)))
+      c2((lang, bg)) = c2.getOrElse((lang, bg), 0L) + 1L
+    val c1n = c2.groupBy { case ((lang, bg), _) => (lang, bg.substring(0, 1)) }
+      .map { case (k, m) => k -> m.values.sum }
+    def q(lang: String, bg: String): Long = {
+      val n = c1n.getOrElse((lang, bg.substring(0, 1)), 0L)
+      ((c2.getOrElse((lang, bg), 0L) + 1) * 1e9 / (n + 37)).toLong
+    }
+    shard.map { case (id, lang, t) =>
+      val bgs = bigramsRef(normRef(t))
+      val sumQ = bgs.map(q(lang, _)).sum
+      id -> ((bgs.size.toLong, sumQ,
+        round6(sumQ * 1.0 / math.max(bgs.size, 1) / 1e9)))
+    }.toMap
+  }
+
+  test("persisted model reproduces the in-query t14 run exactly") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmspec_rt_${System.nanoTime()}").getAbsolutePath
+    Lm.writeModel(docs, path)
+    val served = Lm.score(docs, Lm.openModel(spark, path))
+    val inQuery = SparkEntry.queries("t14_lm_score")(spark, sf)
+    assert(served.exceptAll(inQuery).isEmpty && inQuery.exceptAll(served).isEmpty)
+  }
+
+  test("unseen-shard scoring == exact quantized reference (smoothing fallbacks fire)") {
+    import spark.implicits._
+    val trainSet = docs.filter(col("doc_id") % 3 =!= 0)
+    val unseen = docs.filter(col("doc_id") % 3 === 0)
+    val trainRows = trainSet.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // char bigrams saturate fast, so a real tranche may cover every shard
+    // bigram — PLANT a doc around a bigram provably absent from training,
+    // forcing the unseen-bigram smoothing fallback to fire
+    val trainBgs = trainRows.iterator
+      .flatMap { case (l, t) => bigramsRef(normRef(t)).map((l, _)) }.toSet
+    val absentBg = (for (a <- 'a' to 'z'; b <- 'a' to 'z'; bg = s"$a$b"
+                         if !trainBgs(("en", bg))) yield bg).head
+    val planted = Seq((-1L, "en", s"$absentBg $absentBg some usual words"))
+      .toDF("doc_id", "lang", "text")
+    val shard = unseen.select("doc_id", "lang", "text").unionByName(planted)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmspec_tr_${System.nanoTime()}").getAbsolutePath
+    Lm.writeModel(trainSet, path)
+    val got = Lm.score(shard, Lm.openModel(spark, path))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val shardRows = shard.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === scoreRef(trainRows, shardRows))
+    assert(got.nonEmpty && got.values.forall(v => v._3 > 0.0 && v._3 < 1.0))
+    assert(got.contains(-1L))
+  }
+
+  test("gibberish scores below typical prose for its language") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmspec_gb_${System.nanoTime()}").getAbsolutePath
+    Lm.writeModel(docs, path)
+    val model = Lm.openModel(spark, path)
+    // a shard in the corpus's 'en' register vs consonant-salad gibberish
+    val enWords = docs.filter(col("lang") === "en").select("text")
+      .limit(1).collect()(0).getString(0).split(" ").take(30).mkString(" ")
+    val shard = Seq(
+      (1L, "en", enWords),
+      (2L, "en", "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz")
+    ).toDF("doc_id", "lang", "text")
+    val s = Lm.score(shard, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(s(1L) > s(2L), s.toString)
+  }
+}
