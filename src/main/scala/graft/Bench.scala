@@ -73,7 +73,19 @@ object Bench {
       val n = SparkEntry.queries("t12_packed_batches")(spark, sfDir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }.minBy(_._1)
-    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"},"media_frames":${f"$tFrames%.3f"},"audio_features":${f"$tAudio%.3f"},"training_mix_pack":${f"$tMixPack%.3f"}}"""
+    // round-5 late tier: ExactSubstr span removal and the bigram LM
+    // (trained + scored in-query), same min-of-3 estimator
+    val (tSubstr, _) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("x39_substr_dedup")(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.minBy(_._1)
+    val (tLm, _) = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("t14_lm_score")(spark, sfDir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.minBy(_._1)
+    val extras = s"""{"neardup_components":${f"$tCc%.3f"},"layout_blocks":${f"$tLayout%.3f"},"decontaminate":${f"$tDecon%.3f"},"media_frames":${f"$tFrames%.3f"},"audio_features":${f"$tAudio%.3f"},"training_mix_pack":${f"$tMixPack%.3f"},"substr_dedup":${f"$tSubstr%.3f"},"lm_score":${f"$tLm%.3f"}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus,"lsh_dropped_rows":$lshDropped,"extra_queries":$extras,"neardup_keepers":$nKeepers,"decontaminated_docs":$nContaminated,"media_frame_rows":$nFrames,"audio_feature_rows":$nAudio,"packed_rows":$nPackRows}""")
     spark.stop()
   }

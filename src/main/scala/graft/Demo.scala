@@ -98,6 +98,20 @@ object Demo {
     val overTau = SparkEntry.queries("x27_contamination_score")(spark, sfDir)
       .filter($"overlap_ratio" > 0.05).count()
     println(s"[demo] contamination score: $overTau docs over ratio 0.05")
+    // ExactSubstr-style duplicated-span removal: shared 13-gram runs
+    // survive only in the min-id doc
+    val sub = SparkEntry.queries("x39_substr_dedup")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_removed").as("w"),
+        org.apache.spark.sql.functions.expr(
+          "sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)").as("d")).head()
+    println(s"[demo] substring dedup: ${sub.getLong(0)} duplicated words " +
+      s"cut from ${sub.getLong(1)} docs")
+    // per-language bigram LM typicality (gibberish signal)
+    val lm = SparkEntry.queries("t14_lm_score")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min("lm_score"),
+        org.apache.spark.sql.functions.max("lm_score")).head()
+    println(f"[demo] bigram LM scores: ${lm.getDouble(0)}%.3f..${lm.getDouble(1)}%.3f " +
+      "(per-language char model, trained in-engine)")
     // multimodal: real container decodes (PNG stills, multi-frame GIFs, WAV audio)
     val frames = SparkEntry.queries("x12_media_frames")(spark, sfDir)
     val multi = frames.filter($"n_frames" > 1).select("media_ref").distinct().count()

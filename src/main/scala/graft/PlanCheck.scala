@@ -36,7 +36,10 @@ object PlanCheck {
                   "t12_packed_batches",
                   // in-engine GD training (global partial hash aggs,
                   // 1-row broadcast weight frames)
-                  "t13_quality_probe")) {
+                  "t13_quality_probe",
+                  // span removal (one window per doc, gh equi-joins) and
+                  // the bigram LM (hash aggs to a broadcast model frame)
+                  "x39_substr_dedup", "t14_lm_score")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -37,12 +37,12 @@ object ScaleBench {
     val abc = "abcdefghijklmnopqrstuvwxyz"
     def docsAt(k: Int): DataFrame = {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text")
+        .select("doc_id", "text", "lang")
       (0 until k).map { r =>
         val sh = abc.drop(r % 26) + abc.take(r % 26)
         base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           translate(col("text"), abc + abc.toUpperCase,
-            sh + sh.toUpperCase).as("text"))
+            sh + sh.toUpperCase).as("text"), col("lang"))
       }.reduce(_ unionByName _)
     }
 
@@ -70,7 +70,16 @@ object ScaleBench {
           docs.filter("doc_id % 10 <> 7"), "doc_id", "text",
           docs.filter("doc_id % 10 = 7"), "text", n = 13).count()
       }
-      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"sf":"$sfDir","cpus":$cpus}""")
+      // round-5 late tier: span removal (gram build + rewrite, 2 corpus
+      // passes by construction) and LM train+score end-to-end
+      val (tSub, nSub) = bestOf3 {
+        ops.Decontaminate.removeDupSpans(docs, "doc_id", "text")
+          .filter("n_removed > 0").count()
+      }
+      val (tLm, _) = bestOf3 {
+        ops.Lm.score(docs, ops.Lm.train(docs)).count()
+      }
+      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"lm_train_score_sec":${f"$tLm%.3f"},"sf":"$sfDir","cpus":$cpus}""")
     }
     spark.stop()
   }

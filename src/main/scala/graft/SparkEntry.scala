@@ -603,7 +603,7 @@ object SparkEntry {
     // accept-then-catch property.
     "x38_curation_e2e" -> ((s: SparkSession, dir: String) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"), col("source"))
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
       val corpus = docs.filter(col("doc_id") % 4 =!= 3)
       val shard = docs.filter(col("doc_id") % 4 === 3)
       val hex = Integer.toHexString(dir.hashCode)
@@ -612,7 +612,9 @@ object SparkEntry {
         statsPath = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_x38_stats_$hex").getAbsolutePath,
         modelPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_x38_model_$hex").getAbsolutePath)
+          s"graft_x38_model_$hex").getAbsolutePath,
+        lmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x38_lm_$hex").getAbsolutePath)
       pipeline.Curation.bootstrap(corpus, ixs)
       val bench = docs.filter(col("doc_id") % 10 === 7)
         .select(col("text").as("snippet"))

@@ -50,8 +50,10 @@ object Lm {
   }
 
   /** The persisted model: quantized bigram probabilities plus the
-    * unseen-bigram prefix defaults. */
-  final case class Model(bigrams: DataFrame, prefixes: DataFrame)
+    * unseen-bigram prefix defaults, and (when trained via writeModel) the
+    * per-language out-of-distribution cuts. */
+  final case class Model(bigrams: DataFrame, prefixes: DataFrame,
+                         cuts: Option[DataFrame] = None)
 
   /** Fit the LM on a training tranche: two hash aggs to the per-language
     * bigram/prefix count tables, then the quantized probability per seen
@@ -69,16 +71,35 @@ object Lm {
     Model(q, qd)
   }
 
-  /** Persist the trained model beside the data it will gate. */
+  /** Persist the trained model beside the data it will gate, plus the
+    * per-language out-of-distribution cut: HALF the minimum score any
+    * training doc of that language reaches under the just-trained model.
+    * A register shift (natural prose vs the training corpus's synthetic
+    * word salad) lands a modest factor below the training minimum and
+    * must pass; encoding junk / consonant salad lands an order of
+    * magnitude under typical scores and fails — half-min splits the two
+    * with margin on both sides (measured: register-shifted English 0.13
+    * vs train-min 0.21 vs gibberish 0.04). min is order-free and halving
+    * is exact in binary floating point, so the cut is deterministic at
+    * any parallelism; a quantile would gate in-distribution tails too and
+    * belongs to threshold tuning, not serving. */
   def writeModel(docs: DataFrame, path: String): Unit = {
     val m = train(docs)
     m.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
     m.prefixes.coalesce(1).write.mode("overwrite").parquet(s"$path/prefixes")
+    val reopened = Model(docs.sparkSession.read.parquet(s"$path/bigrams"),
+      docs.sparkSession.read.parquet(s"$path/prefixes"))
+    score(docs, reopened)
+      .groupBy("lang").agg((min("lm_score") / 2).as("lm_cut"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
   }
 
-  def openModel(spark: SparkSession, path: String): Model =
+  def openModel(spark: SparkSession, path: String): Model = {
+    val cuts = if (new java.io.File(s"$path/cuts").exists())
+      Some(spark.read.parquet(s"$path/cuts")) else None
     Model(spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/prefixes"))
+      spark.read.parquet(s"$path/prefixes"), cuts)
+  }
 
   /** Score a shard against a trained model: per-doc bigram counts joined
     * to the broadcast model tables, smoothing fallbacks for unseen
@@ -98,5 +119,20 @@ object Lm {
         "coalesce(n_pos, CAST(0 AS BIGINT)) AS n_pos",
         "coalesce(sum_q, CAST(0 AS BIGINT)) AS sum_q",
         s"${TrainingQueries.LmSql.score("coalesce(sum_q, CAST(0 AS BIGINT))", "coalesce(n_pos, CAST(0 AS BIGINT))")} AS lm_score")
+  }
+
+  /** `score` + the persisted per-language cut: (doc_id, lm_score, lm_ok).
+    * lm_ok is false only for docs scoring strictly BELOW their language's
+    * training minimum — out-of-distribution character statistics. A
+    * language the model never saw has no cut and passes (new languages
+    * enter ungated until a retrain, the same posture as Mix's unseen
+    * domains). Requires a model written by `writeModel`. */
+  def gate(docs: DataFrame, model: Model): DataFrame = {
+    val cuts = model.cuts.getOrElse(sys.error(
+      "Lm.gate needs the per-language cuts — write the model via Lm.writeModel"))
+    score(docs, model)
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lm_score"),
+        (col("lm_cut").isNull || col("lm_score") >= col("lm_cut")).as("lm_ok"))
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Dedup, Mix, Probe}
+import graft.ops.{Decontaminate, Dedup, Lm, Mix, Probe}
 
 /** The round's serving structures composed into the incremental curation
   * loop a 100 TB pipeline actually runs: bootstrap the persisted state
@@ -20,26 +20,31 @@ import graft.ops.{Decontaminate, Dedup, Mix, Probe}
   *                     shard doc against any corpus partner (corpus
   *                     seniority), or the larger id of a shard pair;
   *   3. contaminated   13-gram overlap with the benchmark set;
-  *   4. low_quality    the SERVED probe's decision (persisted model, one
+  *   4. gibberish      the SERVED bigram LM's out-of-distribution gate
+  *                     (doc scores strictly below its language's training
+  *                     minimum — encoding junk / consonant salad);
+  *   5. low_quality    the SERVED probe's decision (persisted model, one
   *                     aggregate-free pass);
-  *   5. keep           with n_copies from the SERVED mix rates as of the
+  *   6. keep           with n_copies from the SERVED mix rates as of the
   *                     pre-accept stats.
   * `acceptShard` folds the keepers into the minhash index and the domain
-  * stats as one epoch (the probe model retrains on a schedule, not per
-  * shard). Per-shard cost is shard-scale everywhere: the corpus appears
-  * only as the bucketed index probe and the id-selective text fetch for
-  * jaccard verification. */
+  * stats as one epoch (the probe and LM models retrain on a schedule,
+  * not per shard). Per-shard cost is shard-scale everywhere: the corpus
+  * appears only as the bucketed index probe and the id-selective text
+  * fetch for jaccard verification. */
 object Curation {
 
   /** The persisted serving state one curated corpus keeps. */
   final case class Indexes(minhashTable: String, statsPath: String,
-                           modelPath: String)
+                           modelPath: String, lmPath: String)
 
-  /** Build all serving state ONCE from the existing corpus. */
+  /** Build all serving state ONCE from the existing corpus (which must
+    * carry doc_id, text, source AND lang — the LM is per-language). */
   def bootstrap(corpus: DataFrame, ixs: Indexes): Unit = {
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", ixs.minhashTable)
     Mix.writeStats(corpus, ixs.statsPath)
     Probe.writeModel(corpus, ixs.modelPath)
+    Lm.writeModel(corpus, ixs.lmPath)
   }
 
   /** Curate one shard: per shard doc (doc_id, decision, score, n_copies).
@@ -86,7 +91,10 @@ object Curation {
     val contam = Decontaminate.contaminated(shard, "doc_id", "text",
         bench, benchTextCol)
       .select(col("doc_id"), lit(true).as("is_contam"))
-    // 4. served quality probe; 5. served mix copy counts
+    // 4. served LM gibberish gate; 5. served quality probe;
+    // 6. served mix copy counts
+    val lmGate = Lm.gate(shard, Lm.openModel(spark, ixs.lmPath))
+      .select(col("doc_id"), col("lm_score"), col("lm_ok"))
     val scored = Probe.score(shard, Probe.openModel(spark, ixs.modelPath))
       .select(col("doc_id"), col("score"), col("pred"))
     val mixed = Mix.assign(shard, Mix.rates(Mix.openStats(spark, ixs.statsPath)))
@@ -95,20 +103,23 @@ object Curation {
       .join(exactLosers, Seq("doc_id"), "left")
       .join(nearLosers, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(lmGate, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"), "left")
       .join(mixed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_exact"), "exact_dup")
           .when(col("is_near"), "near_dup")
           .when(col("is_contam"), "contaminated")
+          .when(col("lm_ok") === false, "gibberish")
           .when(col("pred") === 0, "low_quality")
           .otherwise("keep").as("decision"),
-        col("score"),
+        col("score"), col("lm_score"),
         // a keeper from a domain the stats have never seen (Mix.assign
         // inner-joins the rates) defaults to one copy — new domains enter
         // at natural rate until the next accept folds them into the stats
         when(col("is_exact").isNotNull || col("is_near").isNotNull ||
-            col("is_contam").isNotNull || col("pred") === 0, 0)
+            col("is_contam").isNotNull || col("lm_ok") === false ||
+            col("pred") === 0, 0)
           .otherwise(coalesce(col("n_copies"), lit(1))).as("n_copies"))
   }
 
