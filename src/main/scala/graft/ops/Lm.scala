@@ -5,33 +5,48 @@ import org.apache.spark.sql.functions._
 import graft.queries.{Dialect, TrainingQueries}
 
 /** The n-gram language model SERVED: train the per-language character-bigram
-  * LM once, persist its count-derived probability tables, score every
-  * incoming shard with one narrow pass — the CCNet deployment shape (fit an
-  * LM on a reference tranche, perplexity-filter the crawl with it).
+  * LM once, persist its SUFFICIENT STATISTICS, score every incoming shard
+  * with one narrow pass — the CCNet deployment shape (fit an LM on a
+  * reference tranche, perplexity-filter the crawl with it).
   *
   * `t14_lm_score` trains and scores in a single query — right for the
   * oracle gate, wrong for deployment: at 100 TB the LM is fitted once and
-  * then applied to every shard without re-aggregating the corpus. `train`
-  * derives the quantized probability tables with the SAME `LmSql` shared
-  * expression builders the SQL tier renders, so a served score is
-  * value-identical to the in-query run on the training corpus — x40 pins
-  * that against t14's own DuckDB oracle. Scoring an UNSEEN shard exercises
-  * the add-one-smoothing fallbacks a single-query run never needs: an
-  * unseen bigram under a seen prefix scores floor(1e9/(c1n+37)) (the
+  * then applied to every shard without re-aggregating the corpus. What
+  * persists is the per-language bigram COUNT table (epoch-partitioned,
+  * KB-sized at any corpus scale): counts are additive, so an ingested
+  * shard extends the model with one SHARD-scale aggregate — the same
+  * additive-epoch contract as the minhash/ANN/Mix serving layers, folded
+  * by the shared `CellsMaintenance` compaction with its crash-safe swap
+  * and folded-epoch replay interlock. The quantized probabilities derive
+  * from the folded counts at open time (a few thousand rows of driver-free
+  * arithmetic, never a corpus read).
+  *
+  * All arithmetic renders through the SAME `LmSql` shared expression
+  * builders the SQL tier uses, so a served score is value-identical to
+  * the in-query run on the training corpus — x40 pins that against t14's
+  * own DuckDB oracle. Scoring an UNSEEN shard exercises the
+  * add-one-smoothing fallbacks a single-query run never needs: an unseen
+  * bigram under a seen prefix scores floor(1e9/(c1n+37)) (the
   * prefix-default table), an unseen prefix scores floor(1e9/37).
   *
   * Scale shape: training is one explode + two hash aggs down to a
   * ≤ #langs × 37² model frame; scoring joins per-doc bigram COUNTS (not
   * positions) against the broadcast model — no per-char row explosion
-  * survives past the first aggregate, and the model tables are KB-sized
-  * at any corpus size.
+  * survives past the first aggregate.
   */
 object Lm {
   private val Sp = Dialect.Spark
+  import Ann.CellsMaintenance
 
   /** floor(1e9 / 37): the quantized probability of a bigram whose prefix
     * character was never seen in training (c2 = c1n = 0). */
   val UnseenPrefixQ: Long = 27027027L
+
+  /** One epoch-partitioned dataset: count rows fold by RE-AGGREGATION
+    * (sums are additive across epochs), not relabeling. */
+  private val countsDirs = Seq(CellsMaintenance.EpochDir("counts", Seq("epoch"),
+    (df, b) => df.groupBy("lang", "bg").agg(sum("cnt").as("cnt"))
+      .withColumn("epoch", lit(b))))
 
   /** See Mix.parserParity — the shared expression strings carry regex
     * literals that parse verbatim only under escapedStringLiterals. */
@@ -49,18 +64,23 @@ object Lm {
       .agg(count("*").as("cnt"))
   }
 
-  /** The persisted model: quantized bigram probabilities plus the
-    * unseen-bigram prefix defaults, and (when trained via writeModel) the
+  /** The model's sufficient statistics for one tranche: (lang, bg, cnt) —
+    * ONE aggregate over whatever it is given (the corpus at build time, a
+    * shard at ingest time). */
+  def bigramStats(docs: DataFrame): DataFrame =
+    bigramCounts(docs).groupBy("lang", "bg").agg(sum("cnt").as("cnt"))
+
+  /** The servable model: quantized bigram probabilities, the
+    * unseen-bigram prefix defaults, and (from writeModel) the
     * per-language out-of-distribution cuts. */
   final case class Model(bigrams: DataFrame, prefixes: DataFrame,
                          cuts: Option[DataFrame] = None)
 
-  /** Fit the LM on a training tranche: two hash aggs to the per-language
-    * bigram/prefix count tables, then the quantized probability per seen
-    * bigram and the smoothing default per seen prefix. */
-  def train(docs: DataFrame): Model = {
-    val bgc = bigramCounts(docs)
-    val mdl = bgc.groupBy("lang", "bg").agg(sum("cnt").as("c2"))
+  /** Derive the quantized probability tables from (possibly
+    * epoch-split) count rows — integer sums are associative, so a
+    * baseline + appended epochs yields exactly the single-build model. */
+  def modelFromCounts(counts: DataFrame, cuts: Option[DataFrame] = None): Model = {
+    val mdl = counts.groupBy("lang", "bg").agg(sum("cnt").as("c2"))
     val pre = mdl.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
       .agg(sum("c2").as("c1n"))
     val q = mdl.join(pre.withColumnRenamed("lang", "plang"),
@@ -68,37 +88,68 @@ object Lm {
       .selectExpr("lang", "bg", s"${TrainingQueries.LmSql.q} AS q")
     val qd = pre.selectExpr("lang", "c1",
       "CAST(floor(1e9 / (c1n + 37)) AS BIGINT) AS qd")
-    Model(q, qd)
+    Model(q, qd, cuts)
   }
 
-  /** Persist the trained model beside the data it will gate, plus the
-    * per-language out-of-distribution cut: HALF the minimum score any
-    * training doc of that language reaches under the just-trained model.
-    * A register shift (natural prose vs the training corpus's synthetic
-    * word salad) lands a modest factor below the training minimum and
-    * must pass; encoding junk / consonant salad lands an order of
-    * magnitude under typical scores and fails — half-min splits the two
-    * with margin on both sides (measured: register-shifted English 0.13
-    * vs train-min 0.21 vs gibberish 0.04). min is order-free and halving
-    * is exact in binary floating point, so the cut is deterministic at
-    * any parallelism; a quantile would gate in-distribution tails too and
-    * belongs to threshold tuning, not serving. */
+  /** Fit the LM on a training tranche (in-memory form; the served path
+    * persists the counts via writeModel instead). */
+  def train(docs: DataFrame): Model = modelFromCounts(bigramStats(docs))
+
+  /** Persist the model's counts (epoch 0) plus the per-language
+    * out-of-distribution cut: HALF the minimum score any training doc of
+    * that language reaches under the just-trained model. A register shift
+    * (natural prose vs the training corpus's synthetic word salad) lands
+    * a modest factor below the training minimum and must pass; encoding
+    * junk / consonant salad lands an order of magnitude under typical
+    * scores and fails — half-min splits the two with margin on both sides
+    * (measured: register-shifted English 0.13 vs train-min 0.21 vs
+    * gibberish 0.04). min is order-free and halving is exact in binary
+    * floating point, so the cut is deterministic at any parallelism; a
+    * quantile would gate in-distribution tails too and belongs to
+    * threshold tuning, not serving. Cuts are bootstrap-time state — count
+    * ingestion does not move them; a scheduled retrain does. */
   def writeModel(docs: DataFrame, path: String): Unit = {
-    val m = train(docs)
-    m.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
-    m.prefixes.coalesce(1).write.mode("overwrite").parquet(s"$path/prefixes")
-    val reopened = Model(docs.sparkSession.read.parquet(s"$path/bigrams"),
-      docs.sparkSession.read.parquet(s"$path/prefixes"))
-    score(docs, reopened)
+    CellsMaintenance.reset(path, countsDirs)
+    bigramStats(docs).withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").mode("overwrite").parquet(s"$path/counts")
+    val m = modelFromCounts(
+      docs.sparkSession.read.parquet(s"$path/counts"))
+    score(docs, m)
       .groupBy("lang").agg((min("lm_score") / 2).as("lm_cut"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
   }
 
+  /** Replay guard: an epoch is "in" once its partition committed or once
+    * compaction folded it into the baseline. */
+  def epochInCounts(spark: SparkSession, path: String, epoch: Long): Boolean =
+    epoch <= CellsMaintenance.maxFolded(path) ||
+      spark.read.parquet(s"$path/counts")
+        .filter(col("epoch").cast("long") === epoch).limit(1).count() > 0
+
+  /** Shard-scale ingest: one aggregate over the shard lands as an epoch
+    * partition — the model's probabilities shift to include the shard
+    * with NO corpus read. Dynamic partition overwrite makes a replayed
+    * ingest rewrite itself byte-identically; an epoch already folded away
+    * by compaction is refused loudly (`CellsMaintenance` interlock). */
+  def appendCounts(shard: DataFrame, path: String, epoch: Long): Unit = {
+    require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+    CellsMaintenance.requireAppendable(path, epoch, countsDirs)
+    bigramStats(shard).withColumn("epoch", lit(epoch))
+      .write.partitionBy("epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Fold ingestion epochs into one baseline row per (lang, bigram). */
+  def compactCounts(spark: SparkSession, path: String): Long =
+    CellsMaintenance.compact(spark, path, crashBeforeSwap = false, countsDirs)
+
+  /** Reopen the model (finishing any crashed compaction swap first). */
   def openModel(spark: SparkSession, path: String): Model = {
+    CellsMaintenance.finishPending(path, countsDirs)
     val cuts = if (new java.io.File(s"$path/cuts").exists())
       Some(spark.read.parquet(s"$path/cuts")) else None
-    Model(spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/prefixes"), cuts)
+    modelFromCounts(spark.read.parquet(s"$path/counts"), cuts)
   }
 
   /** Score a shard against a trained model: per-doc bigram counts joined
@@ -123,10 +174,10 @@ object Lm {
 
   /** `score` + the persisted per-language cut: (doc_id, lm_score, lm_ok).
     * lm_ok is false only for docs scoring strictly BELOW their language's
-    * training minimum — out-of-distribution character statistics. A
-    * language the model never saw has no cut and passes (new languages
-    * enter ungated until a retrain, the same posture as Mix's unseen
-    * domains). Requires a model written by `writeModel`. */
+    * cut — out-of-distribution character statistics. A language the model
+    * never saw has no cut and passes (new languages enter ungated until a
+    * retrain, the same posture as Mix's unseen domains). Requires a model
+    * written by `writeModel`. */
   def gate(docs: DataFrame, model: Model): DataFrame = {
     val cuts = model.cuts.getOrElse(sys.error(
       "Lm.gate needs the per-language cuts — write the model via Lm.writeModel"))

@@ -85,6 +85,36 @@ class LmSpec extends AnyFunSuite {
     assert(got.contains(-1L))
   }
 
+  test("count ingestion == single build; replays idempotent; folded epochs refused") {
+    import spark.implicits._
+    val a = docs.filter(col("doc_id") % 4 =!= 3)
+    val b = docs.filter(col("doc_id") % 4 === 3)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmspec_inc_${System.nanoTime()}").getAbsolutePath
+    // baseline on tranche A, shard B arrives as epoch 1
+    Lm.writeModel(a, path)
+    Lm.appendCounts(b, path, epoch = 1L)
+    val probe = docs.select("doc_id", "lang", "text").limit(60)
+    def scores(m: Lm.Model) = Lm.score(probe, m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val incremental = scores(Lm.openModel(spark, path))
+    // the single-build twin over A ∪ B must be value-identical — integer
+    // count sums are associative across the epoch split
+    assert(incremental === scores(Lm.train(a.unionByName(b))))
+    // replayed ingest rewrites itself byte-identically
+    Lm.appendCounts(b, path, epoch = 1L)
+    assert(scores(Lm.openModel(spark, path)) === incremental)
+    assert(Lm.epochInCounts(spark, path, 1L))
+    // compaction folds the epochs; scores unchanged; folded replays refused
+    Lm.compactCounts(spark, path)
+    assert(scores(Lm.openModel(spark, path)) === incremental)
+    assert(Lm.epochInCounts(spark, path, 1L))
+    assertThrows[IllegalArgumentException] {
+      Lm.appendCounts(b, path, epoch = 1L)
+    }
+  }
+
   test("gibberish scores below typical prose for its language") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
