@@ -238,6 +238,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(ratesOf(s"$outDir/batch=000001") == b1, "replayed rates differ")
   }
 
+  test("streaming LM maintenance: shards fold into the counts, scores track the union, replay exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-lm").toString
+    val (inDir, lmPath, outDir, ck) =
+      (s"$root/in", s"$root/lm", s"$root/scores", s"$root/ck")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    val s1 = docs.filter(col("doc_id") % 2 === 0)
+    val s2 = docs.filter(col("doc_id") % 2 === 1)
+    def scoresOf(dir: String): Map[Long, Double] =
+      spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    def expected(shard: org.apache.spark.sql.DataFrame,
+                 model: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      ops.Lm.score(shard, ops.Lm.train(model)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // shard 1 lands -> batch 0 creates the model
+    s1.write.mode("append").parquet(inDir)
+    val q1 = pipeline.StreamingLm.start(spark, inDir, lmPath, outDir, ck)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(scoresOf(s"$outDir/batch=000000") == expected(s1, s1))
+    // kill + restart from the checkpoint; shard 2 lands -> batch 1 appends
+    s2.write.mode("append").parquet(inDir)
+    val q2 = pipeline.StreamingLm.start(spark, inDir, lmPath, outDir, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    // shard 2's published scores equal the single-build model over the union
+    val b1 = scoresOf(s"$outDir/batch=000001")
+    assert(b1 == expected(s2, docs) && b1.nonEmpty)
+    // replay batch 1 (crash between count append and offset commit): the
+    // dynamic-overwrite epoch + derived scores reproduce identical state
+    val countsBefore = spark.read.parquet(s"$lmPath/counts")
+      .orderBy("lang", "bg", "epoch").collect().toSeq
+    pipeline.StreamingLm.lmBatch(s2.toDF(), 1L, lmPath, outDir)
+    assert(spark.read.parquet(s"$lmPath/counts")
+      .orderBy("lang", "bg", "epoch").collect().toSeq == countsBefore,
+      "replay changed the counts")
+    assert(scoresOf(s"$outDir/batch=000001") == b1, "replayed scores differ")
+  }
+
   test("streaming into an outDir seeded by batch runs: seqs extend, never collide") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
