@@ -506,6 +506,26 @@ object SparkEntry {
       ops.Decontaminate.removeDupSpans(docs, "doc_id", "ctext", n = 13)
         .orderBy("doc_id")
     }),
+    // Span removal SERVED: the corpus's duplicated-gram set persisted as
+    // a bucketed index; the newest tranche is scrubbed of corpus
+    // boilerplate with NO corpus re-read (corpus seniority + in-shard
+    // keeper rule). Shard ids are larger than every corpus id, so the
+    // result is value-equal to the full corpus∪shard run restricted to
+    // the shard — pinned against exactly that DuckDB twin
+    // (TrainingQueries.X41OracleDuck, a green hash-compare).
+    "x41_substr_dedup_served" -> ((s: SparkSession, dir: String) => {
+      val docs = runShared(
+        s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")(s, dir)
+      val t = runShared("SELECT CAST(floor((max(doc_id) + 1) * 3 / 4) AS BIGINT) AS t FROM documents")(s, dir)
+        .head().getLong(0)
+      val table = s"gi_x41_${Integer.toHexString(dir.hashCode)}"
+      ops.Decontaminate.writeGramIndex(
+        docs.filter(col("doc_id") < t), "ctext", table)
+      ops.Decontaminate.removeDupSpansServed(
+          docs.filter(col("doc_id") >= t), "doc_id", "ctext",
+          ops.Decontaminate.openGramIndex(s, table))
+        .orderBy("doc_id")
+    }),
     // The full north-rule flow in one operator: positioned lines -> layout
     // -> interleaved spans -> contract extraction. Value-exact oracle
     // (LayoutQueries.X23OracleDuck): the l0* layout CTEs composed with the
@@ -673,6 +693,7 @@ object SparkEntry {
       ("x33_decontaminate_bloom" -> TrainingQueries.X18OracleDuck) +
       ("x29_selfdup_score" -> TrainingQueries.X29OracleDuck) +
       ("x39_substr_dedup" -> TrainingQueries.X39OracleDuck) +
+      ("x41_substr_dedup_served" -> TrainingQueries.X41OracleDuck) +
       ("a11_entity_dedup" -> ExtractQueries.A11OracleDuck) +
       // the served mix must reproduce the corpus-scan query exactly —
       // same oracle as d14

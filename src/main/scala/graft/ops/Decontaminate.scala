@@ -176,7 +176,6 @@ object Decontaminate {
                      n: Int = 13): DataFrame = {
     require(n >= 2, s"n=$n: a 1-gram rule removes any shared word — " +
       "use a real n-gram width")
-    import org.apache.spark.sql.expressions.Window
     val w = docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
     val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
     val grams = w.select(col("id"),
@@ -187,10 +186,22 @@ object Decontaminate {
     // each (id, pos) carries exactly one gram, so this join cannot fan out
     val marked = grams.join(shared, "gh")
       .filter(col("id") =!= col("keeper"))
-      .select(col("id"), col("pos"), lit(true).as("mk"))
+      .select(col("id"), col("pos"))
+    rebuildWithoutMarked(docs.select(col(idCol).as("id")), tok, marked, n)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Shared tail of the span-removal forms: running-max interval coverage
+    * over the marked gram starts (ONE window per doc), then the word-level
+    * rebuild (per-doc hash agg over array_sort, no global sort). `tok` is
+    * (id, pos, word); `marked` is (id, pos) gram starts to cut; `ids` the
+    * doc universe. Output: (id, n_words, n_removed, text_clean). */
+  private def rebuildWithoutMarked(ids: DataFrame, tok: DataFrame,
+                                   marked: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cov = tok.join(marked, Seq("id", "pos"), "left")
+    val cov = tok.join(marked.withColumn("mk", lit(true)), Seq("id", "pos"), "left")
       .withColumn("cov_end", max(when(col("mk"), col("pos") + n)).over(win))
     val kept = cov.filter(col("cov_end").isNull || col("cov_end") <= col("pos"))
     val nw = tok.groupBy("id").agg(count("*").cast("int").as("n_words"))
@@ -199,14 +210,121 @@ object Decontaminate {
       array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("word")))),
         s => s.getField("word")), " ").as("text_clean"))
-    docs.select(col(idCol).as("id")).distinct()
+    ids.distinct()
       .join(nw, Seq("id"), "left")
       .join(agg, Seq("id"), "left")
-      .select(col("id").as(idCol),
+      .select(col("id"),
         coalesce(col("n_words"), lit(0)).as("n_words"),
         (coalesce(col("n_words"), lit(0)) - coalesce(col("n_kept"), lit(0)))
           .as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The duplicated-gram index SERVED: the corpus side of `removeDupSpans`
+    * as a build-once bucketed warehouse table of DISTINCT gram hashes, so
+    * an incoming shard is scrubbed of corpus boilerplate with NO corpus
+    * re-read — the probe streams the bucketed index with no exchange
+    * (same layout contract as the served minhash index). */
+  final case class GramIndex(grams: DataFrame, n: Int)
+
+  private def gramIndexTables(table: String): Seq[String] =
+    Seq(table, s"${table}_params", s"${table}_epochs")
+
+  /** Build the index of an existing corpus ONCE: one gram pass reduced to
+    * distinct hashes, written bucketed+sorted by gh. */
+  def writeGramIndex(docs: DataFrame, textCol: String,
+                     table: String, n: Int = 13, nBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // true overwrite semantics (same contract as writeMinhashIndex): a
+    // previous session's managed location must not block the rebuild
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    gramIndexTables(table).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    docs.select(wordsOf(col(textCol)).as("w"))
+      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .distinct()
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").bucketBy(nBuckets, "gh").sortBy("gh")
+      .format("parquet").saveAsTable(table)
+    Seq((n, nBuckets)).toDF("n", "n_buckets")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_params")
+    Seq(Tuple1(0L)).toDF("epoch")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_epochs")
+  }
+
+  /** Fold an accepted shard's grams in as one epoch — a SHARD-scale gram
+    * pass appended into the bucket layout (probes keep streaming the index
+    * with no exchange). A gram already present under an earlier epoch
+    * simply repeats; the semi/anti probes are set-semantics, so duplicate
+    * rows cannot change any answer (a rebuild is the compaction story).
+    * Replays are no-ops via the tiny epoch ledger. */
+  def appendToGramIndex(shard: DataFrame, textCol: String,
+                        table: String, epoch: Long): Unit = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+    if (spark.table(s"${table}_epochs").filter(col("epoch") === epoch)
+        .limit(1).count() > 0) return
+    val p = spark.table(s"${table}_params").head()
+    val (n, nBuckets) = (p.getInt(0), p.getInt(1))
+    shard.select(wordsOf(col(textCol)).as("w"))
+      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .distinct()
+      .withColumn("epoch", lit(epoch))
+      .write.mode("append").bucketBy(nBuckets, "gh").sortBy("gh")
+      .format("parquet").saveAsTable(table)
+    Seq(Tuple1(epoch)).toDF("epoch")
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_epochs")
+  }
+
+  def openGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    table: String): GramIndex =
+    GramIndex(spark.table(table).select("gh"),
+      spark.table(s"${table}_params").head().getInt(0))
+
+  /** `removeDupSpans` for an incoming shard against a WRITTEN gram index —
+    * the incremental-pipeline form: per-shard cost is shard-scale, the
+    * corpus appears only as the bucketed index probe. Corpus seniority: a
+    * shard position whose gram is in the index is cut unconditionally
+    * (the keeper lives in the corpus); grams unknown to the index fall
+    * back to the in-shard min-id keeper rule. CONTRACT: shard ids must be
+    * larger than every indexed doc's id — then the output is value-equal
+    * to running `removeDupSpans` over corpus ∪ shard and keeping the
+    * shard rows (x41 pins exactly that against the DuckDB full-run twin).
+    * Plan: two probes of the index (left-semi for hits, left-anti for the
+    * in-shard tier) — both stream the bucketed table with no exchange on
+    * the index side; only shard-scale rows shuffle. */
+  def removeDupSpansServed(shard: DataFrame, idCol: String, textCol: String,
+                           index: GramIndex): DataFrame = {
+    val n = index.n
+    val w = shard.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+    val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val grams = w.select(col("id"),
+      posexplode(gramsFromWords(col("w"), n)).as(Seq("pos", "gh")))
+    // the index may hold duplicate gh rows across epochs — semi/anti are
+    // the fan-out-proof probes (a left join would multiply positions)
+    val hit = grams.join(index.grams, Seq("gh"), "left_semi")
+      .select("id", "pos")
+    val miss = grams.join(index.grams, Seq("gh"), "left_anti")
+    val sharedShard = miss.select("id", "gh").distinct()
+      .groupBy("gh").agg(min("id").as("keeper"), count("*").as("nd"))
+      .filter(col("nd") >= 2).select("gh", "keeper")
+    val shardMarked = miss.join(sharedShard, "gh")
+      .filter(col("id") =!= col("keeper"))
+      .select("id", "pos")
+    // disjoint by construction (semi vs anti on the same probe)
+    val marked = hit.union(shardMarked)
+    rebuildWithoutMarked(shard.select(col(idCol).as("id")), tok, marked, n)
+      .withColumnRenamed("id", idCol)
   }
 
   /** Graded form of `contaminated`: EVERY corpus doc scored with its

@@ -175,8 +175,20 @@ object TrainingQueries {
     * Spark side marks via xxhash64 gram keys — identical coverage absent
     * collisions, the x18/x29 precedent; the rebuilt TEXT is then
     * hash-compared, so a collision would fail the gate, not hide). */
-  val X39OracleDuck: String = {
+  val X39OracleDuck: String = substrDedupDuck(shardOnly = false)
+
+  /** DuckDB oracle for x41_substr_dedup_served — the SAME full-run
+    * re-derivation restricted to the shard rows (doc_id ≥ 3/4 of the id
+    * space): under the shard-ids-larger contract the served index probe
+    * is value-equal to the full corpus∪shard run, so the served path
+    * gets a green hash-compare, not a rows-only check. */
+  val X41OracleDuck: String = substrDedupDuck(shardOnly = true)
+
+  private def substrDedupDuck(shardOnly: Boolean): String = {
     val ctext = Dialect.Ctext
+    val shardFilter = if (shardOnly)
+      " WHERE b.doc_id >= (SELECT CAST(floor((max(doc_id) + 1) * 3 / 4) AS BIGINT) FROM documents)"
+    else ""
     s"""WITH base AS (SELECT doc_id, $ctext AS ctext FROM documents),
        |w AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w FROM base),
        |tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS word FROM w),
@@ -200,7 +212,7 @@ object TrainingQueries {
        |  coalesce(nw.n_words, 0) - coalesce(agg.n_kept, 0) AS n_removed,
        |  coalesce(agg.text_clean, '') AS text_clean
        |FROM base b LEFT JOIN nw ON b.doc_id = nw.doc_id
-       |LEFT JOIN agg ON b.doc_id = agg.doc_id
+       |LEFT JOIN agg ON b.doc_id = agg.doc_id$shardFilter
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 

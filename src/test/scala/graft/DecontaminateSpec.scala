@@ -232,6 +232,116 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got17 === got)
   }
 
+  test("served gram index: shard scrub == full corpus∪shard run restricted to the shard") {
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    val docsDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+    val t = spark.sql(
+      "SELECT CAST(floor((max(doc_id) + 1) * 3 / 4) AS BIGINT) FROM documents")
+      .head().getLong(0)
+    val table = s"gi_spec_${System.nanoTime()}"
+    val corpus = docsDf.filter(org.apache.spark.sql.functions.col("doc_id") < t)
+    val shard = docsDf.filter(org.apache.spark.sql.functions.col("doc_id") >= t)
+    Decontaminate.writeGramIndex(corpus, "ctext", table)
+    val served = Decontaminate.removeDupSpansServed(shard, "doc_id", "ctext",
+        Decontaminate.openGramIndex(spark, table))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val full = Decontaminate.removeDupSpans(docsDf, "doc_id", "ctext")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= t)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(served === full)
+    assert(served.values.exists(_._2 > 0), "corpus boilerplate should be cut")
+    Seq(table, s"${table}_params", s"${table}_epochs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("served gram index: corpus seniority, in-shard keeper tier, accept-fold + replay") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "corp boiler plate one two " + ("alpha beta gamma " * 3)),
+      (2L, "unrelated corpus prose with distinct tokens entirely")
+    ).toDF("doc_id", "text")
+    val table = s"gi_spec2_${System.nanoTime()}"
+    Decontaminate.writeGramIndex(corpus, "text", table, n = 3)
+    val shard = Seq(
+      (10L, "intro corp boiler plate one two outro"),      // corpus hit: run cut
+      (11L, "novel shard run xx yy zz ww tail one"),       // in-shard keeper (min id)
+      (12L, "other prefix xx yy zz ww different suffix"),  // in-shard loser
+      (13L, "fully unique shard content nothing shared")
+    ).toDF("doc_id", "text")
+    def scrub(s: org.apache.spark.sql.DataFrame) =
+      Decontaminate.removeDupSpansServed(s, "doc_id", "text",
+          Decontaminate.openGramIndex(spark, table))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val out = scrub(shard)
+    // corpus seniority: the indexed run is cut even though NO corpus text
+    // was read — only the gram index
+    assert(out(10L)._2 == 5 && out(10L)._3 == "intro outro", out(10L).toString)
+    // in-shard tier: min shard id keeps, the larger id loses the run
+    assert(out(11L)._2 == 0)
+    assert(out(12L)._2 == 4 && !out(12L)._3.contains("xx"), out(12L).toString)
+    assert(out(13L)._2 == 0)
+    // accept-fold: keeper 11's grams enter as epoch 1; a later clone of it
+    // now loses to the index (corpus seniority), and a replayed append is
+    // a no-op
+    Decontaminate.appendToGramIndex(
+      shard.filter($"doc_id" === 11L), "text", table, epoch = 1L)
+    val rowsAfter = spark.table(table).count()
+    Decontaminate.appendToGramIndex(
+      shard.filter($"doc_id" === 11L), "text", table, epoch = 1L)
+    assert(spark.table(table).count() == rowsAfter, "replay double-appended")
+    val out2 = scrub(Seq((20L, "novel shard run xx yy zz ww tail one"))
+      .toDF("doc_id", "text"))
+    assert(out2(20L)._2 == out2(20L)._1 && out2(20L)._3 == "", out2(20L).toString)
+    Seq(table, s"${table}_params", s"${table}_epochs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("served gram index plan: the bucketed index streams into both probes with no exchange") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val table = s"gi_spec3_${System.nanoTime()}"
+    Decontaminate.writeGramIndex(corpus, "text", table, n = 3)
+    val shard = Seq((10L, "a b c d x y z w")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Decontaminate.removeDupSpansServed(shard, "doc_id", "text",
+        Decontaminate.openGramIndex(spark, table))
+      df.count()
+      val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+      def depth(l: String): Int = l.indexWhere(_.isLetter)
+      val scans = lines.zipWithIndex
+        .filter(_._1.contains(s"default.$table[")).map(_._2)
+      assert(scans.size >= 2, "expected the index scanned by both probes\n" +
+        lines.take(40).mkString("\n"))
+      scans.foreach { si =>
+        var cur = depth(lines(si)); var i = si - 1; var done = false
+        while (i >= 0 && !done) {
+          val d = depth(lines(i))
+          if (d >= 0 && d < cur) {
+            cur = d
+            assert(!lines(i).contains("Exchange hashpartitioning"),
+              "index side shuffled before its probe join:\n" +
+                lines.slice(i, si + 1).mkString("\n"))
+            if (lines(i).contains("Join")) done = true
+          }
+          i -= 1
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      Seq(table, s"${table}_params", s"${table}_epochs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
   test("removeDupSpans plan: equi-joins only, no cartesian") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
