@@ -35,9 +35,10 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val abc = "abcdefghijklmnopqrstuvwxyz"
+    val base1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang")
     def docsAt(k: Int): DataFrame = {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text", "lang")
+      val base = base1
       (0 until k).map { r =>
         val sh = abc.drop(r % 26) + abc.take(r % 26)
         base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
@@ -79,7 +80,40 @@ object ScaleBench {
       val (tLm, _) = bestOf3 {
         ops.Lm.score(docs, ops.Lm.train(docs)).count()
       }
-      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"lm_train_score_sec":${f"$tLm%.3f"},"sf":"$sfDir","cpus":$cpus}""")
+      // per-shard curation cost vs corpus scale: the index probe and the
+      // jaccard verify are the only corpus-coupled parts of
+      // Curation.curateShard — the SAME fixed ~1k-doc shard is probed
+      // against the 1x and Kx indexes. The probe should stay near-flat
+      // (bucketed index equi-join, counts stream through a shard-key
+      // semi-join); the verify carries the id-selective corpus text fetch,
+      // whose narrow projected scan is the honest linear component.
+      val sh13 = abc.drop(13) + abc.take(13)
+      val shardFresh = base1.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          translate(col("text"), abc + abc.toUpperCase,
+            sh13 + sh13.toUpperCase).as("text"))
+      val shardClones = base1.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + lit(910000000L)).as("doc_id"), col("text"))
+      val shard = shardFresh.unionByName(shardClones)
+      val nShard = shard.count()
+      val table = s"mh_scalebench_$k"
+      Seq(table, s"${table}_counts", s"${table}_params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ops.Dedup.writeMinhashIndex(docs, "doc_id", "text", table) // untimed build
+      val idx = ops.Dedup.openMinhashIndex(spark, table)
+      val (tProbe, nCands) = bestOf3 {
+        ops.Dedup.incrementalCandidates(shard, "doc_id", "text", idx).count()
+      }
+      val (tVerify, nVerified) = bestOf3 {
+        val cands = ops.Dedup.incrementalCandidates(shard, "doc_id", "text", idx)
+        val texts = shard.select("doc_id", "text")
+          .unionByName(docs.select("doc_id", "text"))
+        ops.Dedup.jaccardOnCandidates(texts, cands, "doc_id", "text", 0.5)
+          .count()
+      }
+      Seq(table, s"${table}_counts", s"${table}_params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"lm_train_score_sec":${f"$tLm%.3f"},"shard_probe_sec":${f"$tProbe%.3f"},"shard_verify_sec":${f"$tVerify%.3f"},"n_shard":$nShard,"n_cands":$nCands,"n_verified":$nVerified,"sf":"$sfDir","cpus":$cpus}""")
     }
     spark.stop()
   }

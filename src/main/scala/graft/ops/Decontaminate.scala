@@ -272,6 +272,7 @@ object Decontaminate {
     val spark = shard.sparkSession
     import spark.implicits._
     require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+    refreshGramTables(spark, table)
     if (spark.table(s"${table}_epochs").filter(col("epoch") === epoch)
         .limit(1).count() > 0) return
     val p = spark.table(s"${table}_params").head()
@@ -286,10 +287,23 @@ object Decontaminate {
       .write.mode("append").format("parquet").saveAsTable(s"${table}_epochs")
   }
 
+  /** Same cross-session staleness hazard as the minhash index: the gram
+    * table is appended to from other sessions (a streaming foreachBatch
+    * runs in a CLONE), and a long-lived session caches a catalog table's
+    * file listing on first touch — probes and the append's replay ledger
+    * must re-list, not trust the cache. */
+  private def refreshGramTables(spark: org.apache.spark.sql.SparkSession,
+                                table: String): Unit =
+    Seq(table, s"${table}_params", s"${table}_epochs").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
   def openGramIndex(spark: org.apache.spark.sql.SparkSession,
-                    table: String): GramIndex =
+                    table: String): GramIndex = {
+    refreshGramTables(spark, table)
     GramIndex(spark.table(table).select("gh"),
       spark.table(s"${table}_params").head().getInt(0))
+  }
 
   /** `removeDupSpans` for an incoming shard against a WRITTEN gram index —
     * the incremental-pipeline form: per-shard cost is shard-scale, the

@@ -138,6 +138,19 @@ object Dedup {
                             table: String): java.nio.file.Path =
     java.nio.file.Paths.get(warehouseDir(spark), s"_compact_pending_$table")
 
+  /** Drop any cached relation for the index triple before reading it.
+    * The index is appended to from OTHER sessions — a streaming
+    * foreachBatch runs in a CLONED session, and a long-lived consumer
+    * session caches a catalog table's file listing on first touch — so
+    * both the probe (would silently miss appended epochs) and the
+    * append's replay guard (a stale counts listing would double-append
+    * an epoch that is already in) must re-list, not trust the cache. */
+  private def refreshIndexTables(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Unit =
+    Seq(table, s"${table}_counts", s"${table}_params").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
   /** Params tables written before epoch compaction existed lack the
     * max_folded_epoch column — read it tolerantly. */
   private def maxFoldedOf(p: org.apache.spark.sql.Row): Long =
@@ -168,6 +181,7 @@ object Dedup {
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            table: String, epoch: Long = -1L): Unit = {
     val spark = docs.sparkSession
+    refreshIndexTables(spark, table)
     val p = spark.table(s"${table}_params").head()
     val (bands, rowsPerBand, nBuckets) = (p.getInt(0), p.getInt(1), p.getInt(2))
     val e =
@@ -184,8 +198,16 @@ object Dedup {
     val b = bucketRows(docs, idCol, textCol, bands, rowsPerBand)
       .select(col("id"), col("band"), col("h"), lit(e).as("epoch"))
       .localCheckpoint()
-    b.write.mode("append").bucketBy(nBuckets, "band", "h")
-      .sortBy("band", "h").format("parquet").saveAsTable(table)
+    // each append is TWO jobs (buckets, then counts) and only the counts
+    // write marks the epoch "in" — so a replay after a crash between them
+    // must not re-append the bucket rows. Each write job commits
+    // atomically, so buckets-present-with-counts-absent means the bucket
+    // half is complete: skip it and finish the counts half.
+    val bucketsIn = epoch >= 0L &&
+      spark.table(table).filter(col("epoch") === e).limit(1).count() > 0
+    if (!bucketsIn)
+      b.write.mode("append").bucketBy(nBuckets, "band", "h")
+        .sortBy("band", "h").format("parquet").saveAsTable(table)
     b.groupBy("band", "h").agg(count("*").as("n_corpus"))
       .select(col("band"), col("h"), col("n_corpus"), lit(e).as("epoch"))
       .write.mode("append").format("parquet").saveAsTable(s"${table}_counts")
@@ -197,6 +219,7 @@ object Dedup {
   def openMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String): MinhashIndex = {
     finishPendingIndexCompact(spark, table)
+    refreshIndexTables(spark, table)
     val p = spark.table(s"${table}_params").head()
     MinhashIndex(spark.table(table), spark.table(s"${table}_counts"),
       p.getInt(0), p.getInt(1), maxFoldedOf(p))

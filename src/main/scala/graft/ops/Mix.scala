@@ -89,6 +89,23 @@ object Mix {
     spark.read.parquet(s"$path/stats")
   }
 
+  /** The streaming-replay view: the stats with one epoch EXCLUDED. A
+    * curation batch that crashed between its stats append and the offset
+    * commit must recompute its mix rates against the pre-append state so
+    * the replayed decisions are byte-identical. An epoch already folded
+    * by compaction cannot be excluded — its rows are indistinguishable
+    * inside the baseline — so that misuse fails loudly (compaction's
+    * quiescence contract was violated) instead of returning silently
+    * shifted rates. */
+  def openStatsExcluding(spark: SparkSession, path: String,
+                         epoch: Long): DataFrame = {
+    val mf = CellsMaintenance.maxFolded(path)
+    require(epoch > mf,
+      s"epoch $epoch was folded by stats compaction (max folded: $mf); " +
+        "compact only while ingestion is quiescent")
+    openStats(spark, path).filter(col("epoch").cast("long") =!= epoch)
+  }
+
   /** Per-source sampling rate in basis points — d14's rule over the
     * #domains-row stats frame (epochs sum per source first; integer sums
     * are associative, so the split-by-epoch total equals the corpus-scan

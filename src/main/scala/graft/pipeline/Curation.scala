@@ -58,7 +58,12 @@ object Curation {
   def curateShard(spark: SparkSession, shard: DataFrame, corpus: DataFrame,
                   ixs: Indexes, bench: DataFrame, benchTextCol: String,
                   jaccardThreshold: Double = 0.5,
-                  maxBucket: Int = 1000): DataFrame = {
+                  maxBucket: Int = 1000,
+                  excludeEpoch: Option[Long] = None): DataFrame = {
+    // excludeEpoch: the streaming-replay contract — ignore serving-state
+    // rows THIS batch's crashed accept attempt may already have appended
+    // (minhash index epoch + mix-stats epoch), so a replay recomputes
+    // decisions against the exact pre-accept state (StreamingCuration)
     val ids = shard.select(col("doc_id"))
     // 1. in-shard exact dup: d01/d11 content key, min id keeps
     val exactLosers = shard
@@ -70,7 +75,7 @@ object Curation {
     // 2. near dup: index probe -> jaccard verify on shard+corpus texts
     val idx = Dedup.openMinhashIndex(spark, ixs.minhashTable)
     val cands = Dedup.incrementalCandidates(shard, "doc_id", "text", idx,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, excludeEpoch = excludeEpoch)
     val texts = shard.select(col("doc_id"), col("text"))
       .unionByName(corpus.select(col("doc_id"), col("text")))
     val verified = Dedup.jaccardOnCandidates(texts, cands, "doc_id", "text",
@@ -97,7 +102,11 @@ object Curation {
       .select(col("doc_id"), col("lm_score"), col("lm_ok"))
     val scored = Probe.score(shard, Probe.openModel(spark, ixs.modelPath))
       .select(col("doc_id"), col("score"), col("pred"))
-    val mixed = Mix.assign(shard, Mix.rates(Mix.openStats(spark, ixs.statsPath)))
+    val stats = excludeEpoch match {
+      case Some(e) => Mix.openStatsExcluding(spark, ixs.statsPath, e)
+      case None => Mix.openStats(spark, ixs.statsPath)
+    }
+    val mixed = Mix.assign(shard, Mix.rates(stats))
       .select(col("doc_id"), col("n_copies"))
     ids
       .join(exactLosers, Seq("doc_id"), "left")

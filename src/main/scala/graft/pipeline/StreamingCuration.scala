@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.ops.Ann.CellsMaintenance
+
+/** The FULL incremental curation loop (`pipeline.Curation`) as a
+  * checkpointed Structured Streaming job — the form a 100 TB ingest
+  * actually runs: document shards land as parquet files; each micro-batch
+  * is curated against the serving state (minhash index, domain stats,
+  * quality-probe model, bigram LM — all bootstrapped once), its per-doc
+  * decisions and per-shard funnel land under the batch's own directory,
+  * and the keepers fold back into the index, the stats, AND the corpus
+  * text table as one epoch — so the NEXT micro-batch dedups against them.
+  *
+  * Exactly-once without markers (the StreamingDedup contract, extended to
+  * every piece of serving state a batch touches):
+  *  - decisions/funnel writes OVERWRITE the batch's directory;
+  *  - every probe excludes the batch's OWN epoch — the minhash index via
+  *    `incrementalCandidates(excludeEpoch)`, the mix stats via
+  *    `Mix.openStatsExcluding`, the corpus text via `openCorpus`'s filter
+  *    — so a replay that crashed after any accept append still recomputes
+  *    decisions against the exact pre-accept state, byte-identically;
+  *  - all three accept appends are dynamic-partition epoch overwrites, so
+  *    a replayed accept rewrites itself instead of double-counting.
+  * The probe and LM models are bootstrap-time state (they retrain on a
+  * schedule, not per shard) — a replayed batch reads them unchanged.
+  *
+  * The corpus text table is what makes the loop self-contained: curation
+  * needs candidate-id-selective text for jaccard verification, and the
+  * contract is that it holds text for every doc the index knows. It lives
+  * as an epoch-partitioned parquet dataset managed by the same
+  * `CellsMaintenance` as every other serving table — so shard-per-hour
+  * ingestion's file accretion folds away with the same crash-safe
+  * staged-swap compaction and folded-epoch replay interlock. */
+object StreamingCuration {
+
+  /** The interleaved-corpus shard schema the full loop needs (the LM is
+    * per-language, the mix per-source). */
+  val ShardSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType), StructField("lang", StringType)))
+
+  private val docsDirs = Seq(CellsMaintenance.relabel("docs", Seq("epoch")))
+  private val docCols = Seq("doc_id", "text", "source", "lang")
+
+  /** Write the corpus text table from the bootstrap corpus (epoch 0). */
+  def writeCorpus(corpus: DataFrame, path: String): Unit = {
+    CellsMaintenance.reset(path, docsDirs)
+    corpus.select(docCols.map(col): _*).withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Fold an accepted batch's keepers in as one epoch. Dynamic partition
+    * overwrite makes a replayed accept rewrite itself; an epoch already
+    * folded by compaction is refused loudly. */
+  def appendCorpus(keepers: DataFrame, path: String, epoch: Long): Unit = {
+    require(epoch > 0L, s"epoch must be positive (0 is the bootstrap): $epoch")
+    CellsMaintenance.requireAppendable(path, epoch, docsDirs)
+    keepers.select(docCols.map(col): _*).withColumn("epoch", lit(epoch))
+      .write.partitionBy("epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Reopen the corpus text (finishing any crashed compaction swap).
+    * `excludeEpoch` is the replay view: rows THIS batch's crashed accept
+    * may already have appended are filtered out, so the jaccard
+    * verification fetch sees the exact pre-accept corpus. */
+  def openCorpus(spark: SparkSession, path: String,
+                 excludeEpoch: Option[Long] = None): DataFrame = {
+    CellsMaintenance.finishPending(path, docsDirs)
+    val docs = spark.read.parquet(s"$path/docs")
+    excludeEpoch match {
+      case Some(e) =>
+        val mf = CellsMaintenance.maxFolded(path)
+        require(e > mf,
+          s"epoch $e was folded by corpus compaction (max folded: $mf); " +
+            "compact only while ingestion is quiescent")
+        docs.filter(col("epoch").cast("long") =!= e)
+      case None => docs
+    }
+  }
+
+  /** Fold the accumulated accept epochs into one baseline partition. */
+  def compactCorpus(spark: SparkSession, path: String): Long =
+    CellsMaintenance.compact(spark, path, crashBeforeSwap = false, docsDirs)
+
+  /** Bootstrap ALL serving state once from the existing corpus: the four
+    * Curation indexes plus the corpus text table the loop grows. */
+  def bootstrap(corpus: DataFrame, ixs: Curation.Indexes,
+                corpusPath: String): Unit = {
+    Curation.bootstrap(corpus, ixs)
+    writeCorpus(corpus, corpusPath)
+  }
+
+  private def batchDir(outDir: String, batchId: Long): String =
+    f"$outDir/batch=$batchId%06d"
+
+  /** One micro-batch: curate against the pre-accept state, publish the
+    * decisions + funnel, fold the keepers into index/stats/corpus as
+    * epoch batchId+1 (epoch 0 is the bootstrap). Idempotent under replay
+    * (see object doc). */
+  def curateBatch(batch: DataFrame, batchId: Long, ixs: Curation.Indexes,
+                  corpusPath: String, outDir: String, bench: DataFrame,
+                  benchTextCol: String, maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    val epoch = batchId + 1L
+    val corpus = openCorpus(spark, corpusPath, excludeEpoch = Some(epoch))
+      .drop("epoch")
+    val decisions = Curation.curateShard(spark, batch, corpus, ixs,
+      bench, benchTextCol, maxBucket = maxBucket,
+      excludeEpoch = Some(epoch))
+    val dir = batchDir(outDir, batchId)
+    decisions.write.mode("overwrite").parquet(s"$dir/decisions")
+    // read the DECISIONS BACK for everything downstream: one computation,
+    // and the accept appends' lineage is the written parquet + the batch —
+    // never the serving tables they overwrite (self-read hazard)
+    val written = spark.read.parquet(s"$dir/decisions")
+    // the per-shard funnel — the observability row a corpus run watches
+    written.groupBy("decision")
+      .agg(count("*").as("n_docs"), sum("n_copies").as("n_copies"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/funnel")
+    val keepers = batch.join(
+      written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
+    Curation.acceptShard(keepers, ixs, epoch)
+    appendCorpus(keepers, corpusPath, epoch)
+  }
+
+  /** Start the loop over a parquet file source of shards. Restarting with
+    * the same checkpoint resumes from committed offsets; a replayed batch
+    * rewrites its own outputs and epoch appends (see object doc). The
+    * serving state must have been `bootstrap`ed first. */
+  def start(spark: SparkSession, inDir: String, ixs: Curation.Indexes,
+            corpusPath: String, outDir: String, checkpointDir: String,
+            bench: DataFrame, benchTextCol: String,
+            maxBucket: Int = 1000): StreamingQuery =
+    spark.readStream.schema(ShardSchema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        curateBatch(b.toDF(), id, ixs, corpusPath, outDir, bench,
+          benchTextCol, maxBucket))
+      .start()
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Curation, StreamingCuration}
+
+/** The full curation loop as a checkpointed stream: shards arrive as
+  * files, decisions + funnel land per batch, keepers fold into ALL
+  * serving state (index, stats, corpus text) so the NEXT batch catches
+  * their clones; a killed-and-restarted stream resumes from the
+  * checkpoint, and a crashed batch's replay is byte-identical. */
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_scur_${tag}_${System.nanoTime()}").getAbsolutePath
+
+  test("streaming curation: decisions per batch, accepts grow every serving table, restart + replay exactly-once") {
+    val table = "mh_stream_curation"
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ix = Curation.Indexes(minhashTable = table,
+      statsPath = tmp("stats"), modelPath = tmp("model"), lmPath = tmp("lm"))
+    val corpusPath = tmp("corpus")
+    val inDir = tmp("in"); val outDir = tmp("out"); val ck = tmp("ck")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("lang"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    StreamingCuration.bootstrap(corpus, ix, corpusPath)
+
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike november oscar papa"
+    val bench = Seq(benchText).toDF("snippet")
+    val longKeep = ("steady quality words with punctuation, present often. " * 8) +
+      "This keeps length over the gate floor and token count high enough."
+    val keepSix = "Completely separate vocabulary appears within this " +
+      "lengthy paragraph. Rivers meander through quiet valleys while amber " +
+      "sunsets describe patient horizons. Gentle travelers navigate winding " +
+      "pathways beneath ancient cedar branches, collecting memorable stories " +
+      "during tranquil evenings beside glowing lanterns."
+    val keepFollow = "Another fully independent passage concerning harbors: " +
+      "lighthouses signal distant vessels while fishermen repair woven nets " +
+      "along weathered docks. Seasonal markets gather merchants, musicians, " +
+      "bakers offering warm loaves, plus carpenters displaying oak furniture " +
+      "crafted throughout winter months."
+    val keepDomain = "Mountain observatories record constellations nightly; " +
+      "astronomers chart drifting planets, calibrate brass instruments, and " +
+      "publish careful tables for navigators. Morning frost settles over " +
+      "telescope domes while librarians archive yesterday's measurements " +
+      "beside steaming copper kettles."
+
+    // batch 0: every in-shard decision branch
+    val s1 = Seq(
+      (900001L, longKeep + " clone body one two three", "web", "en"),
+      (900002L, longKeep + " clone body one two three", "web", "en"), // exact dup
+      (900004L, benchText + " " + longKeep, "web", "en"),             // contaminated
+      (900005L, "tiny junk", "web", "en"),                            // low quality
+      (900006L, keepSix, "brand-new-domain", "en")                    // keep, unseen domain
+    ).toDF("doc_id", "text", "source", "lang")
+    s1.write.mode("append").parquet(inDir)
+    val q1 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q1.processAllAvailable() finally q1.stop()
+
+    val d0 = spark.read.parquet(s"$outDir/batch=000000/decisions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+    assert(d0(900002L)._1 == "exact_dup" && d0(900002L)._2 == 0)
+    assert(d0(900001L)._1 == "keep")
+    assert(d0(900004L)._1 == "contaminated")
+    assert(d0(900005L)._1 == "low_quality")
+    assert(d0(900006L)._1 == "keep" && d0(900006L)._2 >= 1,
+      d0(900006L).toString) // unseen domain defaults to one copy
+    val funnel0 = spark.read.parquet(s"$outDir/batch=000000/funnel")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel0 == d0.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+
+    // the accept grew every serving table by exactly the keepers
+    val nKeep0 = d0.values.count(_._1 == "keep")
+    assert(StreamingCuration.openCorpus(spark, corpusPath)
+      .filter(col("epoch").cast("long") === 1L).count() == nKeep0)
+    assert(spark.table(s"${table}_counts")
+      .filter(col("epoch") === 1L).limit(1).count() > 0)
+    assert(graft.ops.Mix.openStats(spark, ix.statsPath)
+      .filter(col("source") === "brand-new-domain").count() == 1)
+
+    // batch 1 after a KILL + RESTART from the checkpoint: a clone of a
+    // batch-0 keeper must lose to the index that keeper was folded into,
+    // and the once-unseen domain now has real mix rates
+    val s2 = Seq(
+      (910001L, keepSix, "brand-new-domain", "en"),  // clone of accepted 900006
+      (910002L, keepFollow, "web", "en"),            // fresh keep
+      (910004L, keepDomain, "brand-new-domain", "en") // keep, domain now in stats
+    ).toDF("doc_id", "text", "source", "lang")
+    s2.write.mode("append").parquet(inDir)
+    val q2 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val d1 = spark.read.parquet(s"$outDir/batch=000001/decisions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+    assert(d1(910001L)._1 == "near_dup", d1.toString)
+    assert(d1(910002L)._1 == "keep")
+    // 910004's copies now come from REAL rates (its domain was folded in
+    // at batch 0), not the unseen-domain default — the rate may round to
+    // 0 or upsample, so pin only the decision here; the stats-row check
+    // above pins that the domain entered the mix
+    assert(d1(910004L)._1 == "keep", d1.toString)
+
+    // replay batch 1 (crash between the accept appends and the offset
+    // commit): epoch exclusion on index + stats + corpus must reproduce
+    // identical decisions, and the epoch appends must not double
+    val corpusRows = StreamingCuration.openCorpus(spark, corpusPath).count()
+    // the stream's appends ran in a CLONED session — re-list before
+    // baselining this session's view (the library paths refresh
+    // themselves; this count is a raw table read)
+    spark.catalog.refreshTable(table)
+    val idxRows = spark.table(table).count()
+    val statsRows = graft.ops.Mix.openStats(spark, ix.statsPath).count()
+    StreamingCuration.curateBatch(s2.toDF(), 1L, ix, corpusPath, outDir,
+      bench, "snippet")
+    val d1r = spark.read.parquet(s"$outDir/batch=000001/decisions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
+    assert(d1r == d1, "replayed decisions differ")
+    assert(StreamingCuration.openCorpus(spark, corpusPath).count() == corpusRows,
+      "replay double-appended corpus rows")
+    assert(spark.table(table).count() == idxRows,
+      "replay double-appended index rows")
+    assert(graft.ops.Mix.openStats(spark, ix.statsPath).count() == statsRows,
+      "replay double-appended stats rows")
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
