@@ -59,7 +59,8 @@ object Curation {
                   ixs: Indexes, bench: DataFrame, benchTextCol: String,
                   jaccardThreshold: Double = 0.5,
                   maxBucket: Int = 1000,
-                  excludeEpoch: Option[Long] = None): DataFrame = {
+                  excludeEpoch: Option[Long] = None,
+                  droppedRows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     // excludeEpoch: the streaming-replay contract — ignore serving-state
     // rows THIS batch's crashed accept attempt may already have appended
     // (minhash index epoch + mix-stats epoch), so a replay recomputes
@@ -74,8 +75,12 @@ object Curation {
       .select(col("doc_id"), lit(true).as("is_exact"))
     // 2. near dup: index probe -> jaccard verify on shard+corpus texts
     val idx = Dedup.openMinhashIndex(spark, ixs.minhashTable)
+    // droppedRows surfaces the bucket-cap coverage loss: a viral-bucket
+    // corpus would otherwise read as "no near-dups in this shard" with no
+    // signal (the count is added eagerly here, at probe-build time)
     val cands = Dedup.incrementalCandidates(shard, "doc_id", "text", idx,
-      maxBucket = maxBucket, excludeEpoch = excludeEpoch)
+      maxBucket = maxBucket, droppedRows = droppedRows,
+      excludeEpoch = excludeEpoch)
     val texts = shard.select(col("doc_id"), col("text"))
       .unionByName(corpus.select(col("doc_id"), col("text")))
     val verified = Dedup.jaccardOnCandidates(texts, cands, "doc_id", "text",

@@ -110,9 +110,11 @@ object StreamingCuration {
     val epoch = batchId + 1L
     val corpus = openCorpus(spark, corpusPath, excludeEpoch = Some(epoch))
       .drop("epoch")
+    val dropped = spark.sparkContext.longAccumulator(
+      s"curation_dropped_candidates_b$batchId")
     val decisions = Curation.curateShard(spark, batch, corpus, ixs,
       bench, benchTextCol, maxBucket = maxBucket,
-      excludeEpoch = Some(epoch))
+      excludeEpoch = Some(epoch), droppedRows = Some(dropped))
     val dir = batchDir(outDir, batchId)
     decisions.write.mode("overwrite").parquet(s"$dir/decisions")
     // read the DECISIONS BACK for everything downstream: one computation,
@@ -128,6 +130,17 @@ object StreamingCuration {
       written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
     Curation.acceptShard(keepers, ixs, epoch)
     appendCorpus(keepers, corpusPath, epoch)
+    // the batch's lineage row: which epoch it became, what it saw, what
+    // it kept, and — the one number a silent bucket cap would otherwise
+    // hide — how many candidate rows the viral-bucket cap dropped
+    // (`dropped` is populated eagerly at probe-build time inside
+    // curateShard, so it is final here)
+    import spark.implicits._
+    Seq((batchId, epoch, written.count(), keepers.count(), dropped.value))
+      .toDF("batch_id", "epoch", "n_docs", "n_keepers",
+        "dropped_candidate_rows")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
   /** Start the loop over a parquet file source of shards. Restarting with

@@ -104,6 +104,14 @@ class StreamingCurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(4))).toMap
     assert(d1(910001L)._1 == "near_dup", d1.toString)
     assert(d1(910002L)._1 == "keep")
+    // per-batch lineage manifests: epoch identity, counts, and a zero
+    // drop count (no viral buckets in these shards)
+    val m0 = spark.read.parquet(s"$outDir/batch=000000/manifest").head()
+    assert(m0.getLong(1) == 1L && m0.getLong(2) == 5L &&
+      m0.getLong(3) == nKeep0 && m0.getLong(4) == 0L, m0.toString)
+    val m1 = spark.read.parquet(s"$outDir/batch=000001/manifest").head()
+    assert(m1.getLong(1) == 2L && m1.getLong(2) == 3L &&
+      m1.getLong(4) == 0L, m1.toString)
     // 910004's copies now come from REAL rates (its domain was folded in
     // at batch 0), not the unseen-domain default — the rate may round to
     // 0 or upsample, so pin only the decision here; the stats-row check
@@ -131,6 +139,33 @@ class StreamingCurationSpec extends AnyFunSuite {
       "replay double-appended index rows")
     assert(graft.ops.Mix.openStats(spark, ix.statsPath).count() == statsRows,
       "replay double-appended stats rows")
+
+    // batch 2 through a restart with maxBucket=1: every shard-touched
+    // bucket is over cap, so the clone pair below is MISSED — and the
+    // manifest's dropped_candidate_rows is the loud signal of exactly
+    // that coverage loss (the silent-cap failure mode, surfaced)
+    val viralA = "Identical viral passage replicated across the shard " +
+      "describing carnival processions, confetti cascades, brass bands " +
+      "parading boulevards, and vendors selling caramel apples nightly."
+    val s3 = Seq(
+      (920001L, viralA, "web", "en"),
+      (920002L, viralA, "web", "en"),
+      (920003L, "Leading variant words here. " + viralA, "web", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    s3.write.mode("append").parquet(inDir)
+    val q3 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet", maxBucket = 1)
+    try q3.processAllAvailable() finally q3.stop()
+    val m2 = spark.read.parquet(s"$outDir/batch=000002/manifest").head()
+    assert(m2.getLong(1) == 3L && m2.getLong(4) > 0L,
+      s"viral-bucket drop count not surfaced: $m2")
+    val d2 = spark.read.parquet(s"$outDir/batch=000002/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 920002 escapes the near-dup tier (candidates capped away) but the
+    // in-shard EXACT tier still catches the verbatim clone; 920003's
+    // near-clone is the one the cap genuinely loses
+    assert(d2(920002L) == "exact_dup", d2.toString)
+    assert(d2(920003L) == "keep", d2.toString)
     Seq(table, s"${table}_counts", s"${table}_params")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
