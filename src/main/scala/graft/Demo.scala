@@ -112,6 +112,21 @@ object Demo {
         org.apache.spark.sql.functions.max("lm_score")).head()
     println(f"[demo] bigram LM scores: ${lm.getDouble(0)}%.3f..${lm.getDouble(1)}%.3f " +
       "(per-language char model, trained in-engine)")
+    // the retrain trigger: serve the model, then watch a half-junk shard
+    // push each language's below-cut fraction over the alarm line
+    val lmPath = s"$outDir/lm_demo"
+    val lmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"lang", $"text")
+    ops.Lm.writeModel(lmDocs, lmPath)
+    val junkShard = lmDocs.limit(20).unionByName(lmDocs.limit(20)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+        org.apache.spark.sql.functions.lit(
+          "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq").as("text")))
+    val drift = ops.Lm.driftStats(junkShard, ops.Lm.openModel(spark, lmPath))
+      .orderBy("lang").collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(5)}%.2f" +
+        (if (r.getBoolean(6)) "!" else "")).mkString(" ")
+    println(s"[demo] LM drift on a half-junk shard: below-cut frac $drift (!=retrain)")
     // multimodal: real container decodes (PNG stills, multi-frame GIFs, WAV audio)
     val frames = SparkEntry.queries("x12_media_frames")(spark, sfDir)
     val multi = frames.filter($"n_frames" > 1).select("media_ref").distinct().count()

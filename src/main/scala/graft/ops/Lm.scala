@@ -186,4 +186,34 @@ object Lm {
       .select(col("doc_id"), col("lm_score"),
         (col("lm_cut").isNull || col("lm_score") >= col("lm_cut")).as("lm_ok"))
   }
+
+  /** The retrain trigger. Count ingestion moves the model's COUNTS but
+    * never the bootstrap-time cuts, so a distribution shift in the
+    * incoming stream — a new register, an encoding regression upstream, a
+    * crawler picking up a spam farm — shows up as a RISING below-cut
+    * fraction per language long before it contaminates the corpus. One
+    * hash agg over a scored shard (shard-scale in, #langs rows out):
+    * (lang, n_docs, n_below, below_frac, mean_score, has_cut, retrain).
+    * `retrain` fires when more than `retrainFrac` of a gated language's
+    * shard scores below its cut — the scheduled-retrain signal the
+    * serving docs promise ("cuts move by retrain, not ingestion"). A
+    * language with no cut reports has_cut=false and never fires (new
+    * languages enter ungated; their signal is the missing cut itself). */
+  def driftStats(docs: DataFrame, model: Model,
+                 retrainFrac: Double = 0.1): DataFrame = {
+    val cuts = model.cuts.getOrElse(sys.error(
+      "Lm.driftStats needs the per-language cuts — write the model via Lm.writeModel"))
+    score(docs, model)
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .groupBy("lang")
+      .agg(count("*").as("n_docs"),
+        sum(when(col("lm_cut").isNotNull && col("lm_score") < col("lm_cut"),
+          1L).otherwise(0L)).as("n_below"),
+        round(avg("lm_score"), 6).as("mean_score"),
+        max(col("lm_cut").isNotNull).as("has_cut"))
+      .withColumn("below_frac",
+        round(col("n_below") * lit(1e0) / col("n_docs"), 6))
+      .withColumn("retrain",
+        col("has_cut") && col("below_frac") > lit(retrainFrac))
+  }
 }

@@ -132,4 +132,38 @@ class LmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(s(1L) > s(2L), s.toString)
   }
+
+  test("driftStats: healthy shard quiet, junk-heavy shard fires retrain, uncut language never fires") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmspec_drift_${System.nanoTime()}").getAbsolutePath
+    Lm.writeModel(docs, path)
+    val model = Lm.openModel(spark, path)
+    // a healthy shard: real corpus docs stay at or above the training
+    // minimum, so below_frac = 0 and retrain stays quiet
+    val healthy = docs.select("doc_id", "lang", "text").limit(40)
+    val quiet = Lm.driftStats(healthy, model).collect()
+      .map(r => r.getString(0) -> r).toMap
+    quiet.values.foreach { r =>
+      assert(r.getLong(2) == 0L && !r.getBoolean(6), r.toString)
+    }
+    // an upstream encoding regression: half the 'en' shard turns to
+    // consonant salad -> below_frac 0.5 > 0.1 -> retrain fires for 'en'
+    val junk = "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz"
+    val enDocs = docs.filter(col("lang") === "en")
+      .select("doc_id", "lang", "text").limit(10)
+    val shard = enDocs.unionByName((1001L to 1010L).map(i =>
+        (i, "en", junk)).toDF("doc_id", "lang", "text"))
+      .unionByName(Seq((2001L, "xx", junk)).toDF("doc_id", "lang", "text"))
+    val drift = Lm.driftStats(shard, model).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = drift("en")
+    assert(en.getLong(1) == 20L && en.getLong(2) == 10L &&
+      en.getDouble(5) == 0.5 && en.getBoolean(6), en.toString)
+    // 'xx' was never trained: no cut, ungated, never fires — the signal
+    // for a NEW language is has_cut=false, not a retrain alarm
+    val xx = drift("xx")
+    assert(!xx.getBoolean(4) && xx.getLong(2) == 0L && !xx.getBoolean(6),
+      xx.toString)
+  }
 }
