@@ -644,6 +644,68 @@ object TrainingQueries {
          |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
     },
 
+    // X42 — the LM RETRAIN TRIGGER value-exact: train the t14 model,
+    // derive the per-language out-of-distribution cut (half the training
+    // minimum, the Lm.writeModel rule), score a drift shard — a small
+    // deterministic corpus slice UNION ALL planted consonant-salad junk —
+    // through the full smoothing-fallback path (LEFT JOIN model, prefix
+    // default, unseen-prefix floor(1e9/37)), and aggregate the
+    // per-language below-cut fraction + alarm. Every comparison that
+    // could straddle an engine boundary is exact by construction: scores
+    // are t14's quantized-BIGINT means, the cut is an exact halving of an
+    // identical double, below_frac is integer division. The serving form
+    // is `ops.Lm.driftStats` (one shard-scale pass against the broadcast
+    // persisted model — spec-pinned in LmSpec); this query proves the
+    // drift construction itself cross-engine.
+    "x42_lm_drift" -> q { d =>
+      val junk = Seq("de", "en", "es", "fr", "zh").flatMap { l =>
+        Seq(s"(CAST(91${l.map(_.toInt).mkString}01 AS BIGINT), '$l', " +
+          "'xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz')",
+          s"(CAST(91${l.map(_.toInt).mkString}02 AS BIGINT), '$l', " +
+            "'qvxk zjqw kvxz jqzv xkqj vzqx wkjq zxvq jkqz vqxj kzjv qxwz')")
+      }.mkString(", ")
+      s"""WITH norm AS (SELECT doc_id, lang, ${LmSql.norm(d)} AS s FROM documents),
+         |bg AS (SELECT doc_id, lang, ${LmSql.bigrams(d)} AS bg FROM norm),
+         |bgc AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY doc_id, lang, bg),
+         |mdl AS (SELECT lang, bg, CAST(sum(cnt) AS BIGINT) AS c2
+         |  FROM bgc GROUP BY lang, bg),
+         |pre AS (SELECT lang, substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+         |  FROM mdl GROUP BY lang, substr(bg, 1, 1)),
+         |qt AS (SELECT m.lang, m.bg, ${LmSql.q} AS q
+         |  FROM mdl m JOIN pre p ON m.lang = p.lang AND substr(m.bg, 1, 1) = p.c1),
+         |qdt AS (SELECT lang, c1, CAST(floor(1e9 / (c1n + 37)) AS BIGINT) AS qd FROM pre),
+         |tsc AS (SELECT b.doc_id, b.lang, CAST(sum(b.cnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(b.cnt * q.q) AS BIGINT) AS sum_q
+         |  FROM bgc b JOIN qt q ON b.lang = q.lang AND b.bg = q.bg
+         |  GROUP BY b.doc_id, b.lang),
+         |cuts AS (SELECT lang,
+         |  min(${LmSql.score("sum_q", "n_pos")}) / 2 AS lm_cut
+         |  FROM tsc GROUP BY lang),
+         |shard AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 = 3
+         |  UNION ALL SELECT * FROM (VALUES $junk) AS j(doc_id, lang, text)),
+         |snorm AS (SELECT doc_id, lang, ${LmSql.norm(d)} AS s FROM shard),
+         |sbg AS (SELECT doc_id, lang, ${LmSql.bigrams(d)} AS bg FROM snorm),
+         |sbgc AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sbg GROUP BY doc_id, lang, bg),
+         |ssc AS (SELECT b.doc_id, b.lang, CAST(sum(b.cnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(b.cnt * coalesce(q.q, p.qd, 27027027)) AS BIGINT) AS sum_q
+         |  FROM sbgc b LEFT JOIN qt q ON b.lang = q.lang AND b.bg = q.bg
+         |  LEFT JOIN qdt p ON b.lang = p.lang AND substr(b.bg, 1, 1) = p.c1
+         |  GROUP BY b.doc_id, b.lang),
+         |scored AS (SELECT s.doc_id, s.lang,
+         |  ${LmSql.score("coalesce(c.sum_q, 0)", "coalesce(c.n_pos, 0)")} AS lm_score
+         |  FROM shard s LEFT JOIN ssc c ON s.doc_id = c.doc_id)
+         |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  round(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*), 6) AS below_frac,
+         |  CAST(CASE WHEN sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*) > 0.1
+         |    THEN 1 ELSE 0 END AS INT) AS retrain
+         |FROM scored sc JOIN cuts k ON sc.lang = k.lang
+         |GROUP BY sc.lang, k.lm_cut
+         |ORDER BY sc.lang""".stripMargin.replace("\n", " ")
+    },
+
     // D13 — the SIMHASH tier value-exact: 60-bit simhash over md5 word
     // hashes (multiset votes: bit b set iff ones outnumber zeros), paired
     // via pigeonhole blocks (4 x 15 bits — hamming <= 3 implies at least
