@@ -612,6 +612,33 @@ object SparkEntry {
       ops.Lm.writeModel(docs, path)
       ops.Lm.score(docs, ops.Lm.openModel(s, path)).orderBy("doc_id")
     }),
+    // LM drift SERVED (ops.Lm.driftStats): the retrain trigger run the
+    // way deployment runs it — model + cuts persisted once, the drift
+    // shard (the same deterministic corpus slice + planted junk as x42)
+    // scored in one pass against the broadcast model, per-language
+    // below-cut fractions aggregated. Pinned against x42's OWN DuckDB
+    // oracle: the served alarm equals the all-SQL twin value-exactly
+    // (identical quantized scores, identical half-min cuts).
+    "x43_lm_drift_served" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x43_lm_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Lm.writeModel(docs, path)
+      val junk = Seq("de", "en", "es", "fr", "zh").flatMap { l =>
+        val stem = s"91${l.map(_.toInt).mkString}"
+        Seq((s"${stem}01".toLong, l,
+          "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz"),
+          (s"${stem}02".toLong, l,
+            "qvxk zjqw kvxz jqzv xkqj vzqx wkjq zxvq jkqz vqxj kzjv qxwz"))
+      }.toDF("doc_id", "lang", "text")
+      val shard = docs.filter(col("doc_id") % 100 === 3).unionByName(junk)
+      ops.Lm.driftStats(shard, ops.Lm.openModel(s, path))
+        .select(col("lang"), col("n_docs"), col("n_below"),
+          col("below_frac"), col("retrain").cast("int").as("retrain"))
+        .orderBy("lang")
+    }),
     // The whole incremental curation loop (pipeline.Curation): bootstrap
     // every serving structure on the older tranche, then curate the
     // newest tranche as an incoming shard — exact/near dedup against the
@@ -703,5 +730,8 @@ object SparkEntry {
       ("x37_quality_probe_served" -> shared("t13_quality_probe")._2) +
       // the served LM must reproduce the in-query scoring run —
       // same oracle as t14
-      ("x40_lm_served" -> shared("t14_lm_score")._2)
+      ("x40_lm_served" -> shared("t14_lm_score")._2) +
+      // the served drift alarm must reproduce the all-SQL twin —
+      // same oracle as x42
+      ("x43_lm_drift_served" -> shared("x42_lm_drift")._2)
 }

@@ -298,10 +298,19 @@ object Decontaminate {
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
 
+  /** `excludeEpoch` is the streaming-replay view: gram rows THIS batch's
+    * crashed accept may already have appended are filtered out, so a
+    * replayed scrub sees the exact pre-accept index (without it, a
+    * replayed keeper would find its own grams indexed and scrub itself
+    * to nothing). Gram epochs are never folded (a rebuild is the
+    * compaction story), so the filter is always valid. */
   def openGramIndex(spark: org.apache.spark.sql.SparkSession,
-                    table: String): GramIndex = {
+                    table: String,
+                    excludeEpoch: Option[Long] = None): GramIndex = {
     refreshGramTables(spark, table)
-    GramIndex(spark.table(table).select("gh"),
+    val g = spark.table(table)
+    val gf = excludeEpoch.map(e => g.filter(col("epoch") =!= e)).getOrElse(g)
+    GramIndex(gf.select("gh"),
       spark.table(s"${table}_params").head().getInt(0))
   }
 

@@ -34,9 +34,14 @@ import graft.ops.{Decontaminate, Dedup, Lm, Mix, Probe}
   * fetch for jaccard verification. */
 object Curation {
 
-  /** The persisted serving state one curated corpus keeps. */
+  /** The persisted serving state one curated corpus keeps. `gramTable`
+    * (optional) adds the served duplicated-gram index: shards are then
+    * SCRUBBED of corpus boilerplate before any decision — the
+    * RefinedWeb order (boilerplate removal first, dedup on content) —
+    * and accepted keepers fold their grams back in. */
   final case class Indexes(minhashTable: String, statsPath: String,
-                           modelPath: String, lmPath: String)
+                           modelPath: String, lmPath: String,
+                           gramTable: Option[String] = None)
 
   /** Build all serving state ONCE from the existing corpus (which must
     * carry doc_id, text, source AND lang — the LM is per-language). */
@@ -45,7 +50,30 @@ object Curation {
     Mix.writeStats(corpus, ixs.statsPath)
     Probe.writeModel(corpus, ixs.modelPath)
     Lm.writeModel(corpus, ixs.lmPath)
+    ixs.gramTable.foreach(t =>
+      Decontaminate.writeGramIndex(corpus, "text", t))
   }
+
+  /** The pre-decision scrub: duplicated-span removal against the served
+    * gram index — corpus boilerplate (licence headers, templated chrome)
+    * vanishes from shard docs BEFORE dedup/quality/mix look at them, so
+    * every downstream decision acts on content, not chrome. A full clone
+    * of indexed text scrubs to empty and falls to the quality gate — the
+    * degenerate case is still caught, just under a different label.
+    * No-op when the state has no gram index. `excludeEpoch` is the
+    * streaming-replay view (see `Decontaminate.openGramIndex`). */
+  def scrubShard(spark: SparkSession, shard: DataFrame, ixs: Indexes,
+                 excludeEpoch: Option[Long] = None): DataFrame =
+    ixs.gramTable match {
+      case None => shard
+      case Some(t) =>
+        val idx = Decontaminate.openGramIndex(spark, t, excludeEpoch)
+        val clean = Decontaminate
+          .removeDupSpansServed(shard, "doc_id", "text", idx)
+          .select(col("doc_id"), col("text_clean"))
+        shard.drop("text").join(clean, "doc_id")
+          .withColumnRenamed("text_clean", "text")
+    }
 
   /** Curate one shard: per shard doc (doc_id, decision, score, n_copies).
     * `corpus` supplies text for jaccard verification only — the join is
@@ -145,5 +173,10 @@ object Curation {
     Dedup.appendToMinhashIndex(keepers, "doc_id", "text", ixs.minhashTable,
       epoch)
     Mix.appendStats(keepers, ixs.statsPath, epoch)
+    // when the loop scrubs, the keepers arrive ALREADY scrubbed — the
+    // gram index grows with their surviving content, so the NEXT shard's
+    // scrub also cuts spans duplicated against these accepts
+    ixs.gramTable.foreach(t =>
+      Decontaminate.appendToGramIndex(keepers, "text", t, epoch))
   }
 }

@@ -112,7 +112,13 @@ object StreamingCuration {
       .drop("epoch")
     val dropped = spark.sparkContext.longAccumulator(
       s"curation_dropped_candidates_b$batchId")
-    val decisions = Curation.curateShard(spark, batch, corpus, ixs,
+    // the pre-decision scrub (no-op without a gram index in the state):
+    // corpus boilerplate is cut from the shard FIRST, so dedup, quality,
+    // and mix all act on content — and the accepted keepers fold their
+    // scrubbed text into every serving table below
+    val shard = Curation.scrubShard(spark, batch, ixs,
+      excludeEpoch = Some(epoch))
+    val decisions = Curation.curateShard(spark, shard, corpus, ixs,
       bench, benchTextCol, maxBucket = maxBucket,
       excludeEpoch = Some(epoch), droppedRows = Some(dropped))
     val dir = batchDir(outDir, batchId)
@@ -126,8 +132,13 @@ object StreamingCuration {
       .agg(count("*").as("n_docs"), sum("n_copies").as("n_copies"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/funnel")
-    val keepers = batch.join(
+    // materialize the keepers BEFORE the accept appends: their plan
+    // probes the gram index (the scrub), and acceptShard appends into
+    // that same table — a lazy plan re-evaluated during the append job
+    // would read the table it is writing (the self-read hazard)
+    val keepers = shard.join(
       written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
+      .localCheckpoint()
     Curation.acceptShard(keepers, ixs, epoch)
     appendCorpus(keepers, corpusPath, epoch)
     // the batch's lineage row: which epoch it became, what it saw, what

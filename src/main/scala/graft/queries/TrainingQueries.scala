@@ -699,7 +699,7 @@ object TrainingQueries {
          |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
          |  round(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*), 6) AS below_frac,
-         |  CAST(CASE WHEN sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*) > 0.1
+         |  CAST(CASE WHEN round(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*), 6) > 0.1
          |    THEN 1 ELSE 0 END AS INT) AS retrain
          |FROM scored sc JOIN cuts k ON sc.lang = k.lang
          |GROUP BY sc.lang, k.lm_cut

@@ -169,4 +169,99 @@ class StreamingCurationSpec extends AnyFunSuite {
     Seq(table, s"${table}_counts", s"${table}_params")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("gram-scrub loop: boilerplate cut before decisions, accepts extend the scrub, replay exact") {
+    val table = "mh_scur_scrub"; val gtable = "gx_scur_scrub"
+    (Seq(table, s"${table}_counts", s"${table}_params") ++
+      Seq(gtable, s"${gtable}_params", s"${gtable}_epochs"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ix = Curation.Indexes(minhashTable = table,
+      statsPath = tmp("sstats"), modelPath = tmp("smodel"),
+      lmPath = tmp("slm"), gramTable = Some(gtable))
+    val corpusPath = tmp("scorpus")
+    val inDir = tmp("sin"); val outDir = tmp("sout"); val ck = tmp("sck")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("lang"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    StreamingCuration.bootstrap(corpus, ix, corpusPath)
+    val bench = Seq("unrelated benchmark snippet never matching anything")
+      .toDF("snippet")
+
+    // a 20-word span straight out of an indexed corpus doc = boilerplate
+    val boiler = corpus.orderBy("doc_id").select("text").as[String].head()
+      .split(" ").take(20).mkString(" ")
+    val unique = "Entirely novel narration follows describing observatory " +
+      "routines: astronomers calibrate brass instruments nightly, chart " +
+      "drifting planets patiently, and archive careful measurements beside " +
+      "steaming copper kettles while morning frost settles over the domes."
+    val freshB1 = "Harbor chronicles continue independently: lighthouses " +
+      "signal distant vessels while fishermen repair woven nets along " +
+      "weathered docks, and seasonal markets gather merchants, musicians, " +
+      "and bakers offering warm loaves throughout winter months."
+
+    // batch 0: doc A carries corpus boilerplate + unique content
+    val s1 = Seq((930001L, boiler + " " + unique, "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    s1.write.mode("append").parquet(inDir)
+    val q1 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q1.processAllAvailable() finally q1.stop()
+
+    val d0 = spark.read.parquet(s"$outDir/batch=000000/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d0(930001L) == "keep", d0.toString)
+    // the accepted keeper's corpus text is the SCRUBBED form: the
+    // boilerplate words are gone, the novel content survives
+    val kept = StreamingCuration.openCorpus(spark, corpusPath)
+      .filter(col("doc_id") === 930001L).select("text").as[String].head()
+    // the rebuild emits normalized lowercase words; the novel content
+    // survives, every boiler word (none shared with `unique`) is gone
+    assert(kept.contains("astronomers") && kept.contains("observatory"), kept)
+    val uniqWords = unique.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).toSet
+    val bw = boiler.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .filterNot(uniqWords).head
+    assert(!kept.split(" ").contains(bw), s"boiler word '$bw' survived: $kept")
+    assert(kept.split(" ").length < (boiler + " " + unique).split(" ").length,
+      "scrub removed nothing")
+
+    // batch 1: a clone of A's ORIGINAL raw text scrubs against epochs
+    // 0 AND 1 (the accept extended the gram index) — it empties out and
+    // falls to the quality gate, the documented degenerate case; fresh
+    // content keeps
+    val s2 = Seq(
+      (940001L, boiler + " " + unique, "web", "en"),
+      (940002L, freshB1, "web", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    s2.write.mode("append").parquet(inDir)
+    val q2 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q2.processAllAvailable() finally q2.stop()
+    val d1 = spark.read.parquet(s"$outDir/batch=000001/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fully duplicated content scrubs to EMPTY text — it drops at the
+    // first gate that sees an empty doc (the LM scores it 0, below every
+    // cut), never reaches keep
+    assert(Set("gibberish", "low_quality")(d1(940001L)), d1.toString)
+    assert(d1(940002L) == "keep", d1.toString)
+
+    // replay batch 1: the scrub must exclude the batch's own gram epoch
+    // (else 940002 would find its own accepted grams and self-scrub) and
+    // reproduce identical decisions; the gram append is a ledger no-op
+    spark.catalog.refreshTable(gtable)
+    val gramRows = spark.table(gtable).count()
+    StreamingCuration.curateBatch(s2.toDF(), 1L, ix, corpusPath, outDir,
+      bench, "snippet")
+    val d1r = spark.read.parquet(s"$outDir/batch=000001/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d1r == d1, "replayed decisions differ under the gram scrub")
+    spark.catalog.refreshTable(gtable)
+    assert(spark.table(gtable).count() == gramRows,
+      "replay double-appended gram rows")
+    (Seq(table, s"${table}_counts", s"${table}_params") ++
+      Seq(gtable, s"${gtable}_params", s"${gtable}_epochs"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
