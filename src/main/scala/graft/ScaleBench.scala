@@ -113,7 +113,22 @@ object ScaleBench {
       }
       Seq(table, s"${table}_counts", s"${table}_params")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"lm_train_score_sec":${f"$tLm%.3f"},"shard_probe_sec":${f"$tProbe%.3f"},"shard_verify_sec":${f"$tVerify%.3f"},"n_shard":$nShard,"n_cands":$nCands,"n_verified":$nVerified,"sf":"$sfDir","cpus":$cpus}""")
+      // the loop's pre-decision scrub at corpus scale: the same fixed
+      // shard scrubbed against the 1x and Kx served gram index — the
+      // probe streams the bucketed index (no exchange), so growth here
+      // is the index scan itself, not shuffle
+      val gtable = s"gx_scalebench_$k"
+      Seq(gtable, s"${gtable}_params", s"${gtable}_epochs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ops.Decontaminate.writeGramIndex(docs, "text", gtable) // untimed build
+      val gidx = ops.Decontaminate.openGramIndex(spark, gtable)
+      val (tScrub, nScrub) = bestOf3 {
+        ops.Decontaminate.removeDupSpansServed(shard, "doc_id", "text", gidx)
+          .filter("n_removed > 0").count()
+      }
+      Seq(gtable, s"${gtable}_params", s"${gtable}_epochs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      println(s"""{"scale":$k,"n_docs":$nDocs,"minhash_pairs_sec":${f"$tPairs%.3f"},"n_pairs":$nPairs,"neardup_cc_sec":${f"$tCc%.3f"},"n_keepers":$nKeep,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"lm_train_score_sec":${f"$tLm%.3f"},"shard_probe_sec":${f"$tProbe%.3f"},"shard_verify_sec":${f"$tVerify%.3f"},"shard_scrub_sec":${f"$tScrub%.3f"},"n_scrubbed":$nScrub,"n_shard":$nShard,"n_cands":$nCands,"n_verified":$nVerified,"sf":"$sfDir","cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -136,6 +136,14 @@ object StreamingCuration {
     // probes the gram index (the scrub), and acceptShard appends into
     // that same table — a lazy plan re-evaluated during the append job
     // would read the table it is writing (the self-read hazard)
+    // the per-language retrain alarm, computed on the shard the loop just
+    // saw: count ingestion never moves the LM cuts, so a distribution
+    // shift in the stream surfaces here first (Lm.driftStats; one
+    // shard-scale agg). Written per batch -> replay-idempotent.
+    graft.ops.Lm.driftStats(shard,
+        graft.ops.Lm.openModel(spark, ixs.lmPath))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/drift")
     val keepers = shard.join(
       written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
       .localCheckpoint()

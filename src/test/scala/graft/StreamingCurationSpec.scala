@@ -59,7 +59,11 @@ class StreamingCurationSpec extends AnyFunSuite {
       (900002L, longKeep + " clone body one two three", "web", "en"), // exact dup
       (900004L, benchText + " " + longKeep, "web", "en"),             // contaminated
       (900005L, "tiny junk", "web", "en"),                            // low quality
-      (900006L, keepSix, "brand-new-domain", "en")                    // keep, unseen domain
+      (900006L, keepSix, "brand-new-domain", "en"),                   // keep, unseen domain
+      // consonant salad that PASSES the heuristic gate; only the LM's
+      // out-of-distribution cut rejects it (and feeds the drift row)
+      (900007L, ("xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq " +
+        "zqxk jqvz ") * 4, "web", "en")
     ).toDF("doc_id", "text", "source", "lang")
     s1.write.mode("append").parquet(inDir)
     val q1 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
@@ -74,9 +78,16 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(d0(900005L)._1 == "low_quality")
     assert(d0(900006L)._1 == "keep" && d0(900006L)._2 >= 1,
       d0(900006L).toString) // unseen domain defaults to one copy
+    assert(d0(900007L)._1 == "gibberish" && d0(900007L)._2 == 0,
+      d0(900007L).toString)
     val funnel0 = spark.read.parquet(s"$outDir/batch=000000/funnel")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(funnel0 == d0.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+    // the batch's own drift row: the planted gibberish doc puts 'en'
+    // below its cut, so the loop's retrain alarm carries a non-zero count
+    val drift0 = spark.read.parquet(s"$outDir/batch=000000/drift")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(drift0("en") >= 1L, drift0.toString)
 
     // the accept grew every serving table by exactly the keepers
     val nKeep0 = d0.values.count(_._1 == "keep")
@@ -107,7 +118,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     // per-batch lineage manifests: epoch identity, counts, and a zero
     // drop count (no viral buckets in these shards)
     val m0 = spark.read.parquet(s"$outDir/batch=000000/manifest").head()
-    assert(m0.getLong(1) == 1L && m0.getLong(2) == 5L &&
+    assert(m0.getLong(1) == 1L && m0.getLong(2) == 6L &&
       m0.getLong(3) == nKeep0 && m0.getLong(4) == 0L, m0.toString)
     val m1 = spark.read.parquet(s"$outDir/batch=000001/manifest").head()
     assert(m1.getLong(1) == 2L && m1.getLong(2) == 3L &&
