@@ -38,12 +38,45 @@ object Probe {
       " SELECT cut, b, w1, w2, w3 FROM cut")
   }
 
-  /** Persist the trained model beside the data it will gate. */
-  def writeModel(docs: DataFrame, path: String): Unit =
-    train(docs).coalesce(1).write.mode("overwrite").parquet(path)
+  /** Persist the trained model beside the data it will gate — plus the
+    * TRAINING keep rate (fraction of training docs the fitted model
+    * keeps), the reference point `driftStats` compares shards against.
+    * The model frame is materialized once so the rate pass doesn't rerun
+    * the GD chain. */
+  def writeModel(docs: DataFrame, path: String): Unit = {
+    val m = train(docs).localCheckpoint()
+    val rate = score(docs, m)
+      .agg(round(avg("pred"), 6).as("train_keep_rate"))
+    m.crossJoin(rate).coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   def openModel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The probe's retrain trigger — the same posture as `Lm.driftStats`:
+    * the decision cut is bootstrap-time state, so a shift in the incoming
+    * stream's quality distribution shows up as the shard KEEP RATE
+    * diverging from the persisted training keep rate. One shard-scale
+    * agg to a single row: (n_docs, n_keep, keep_frac, train_keep_rate,
+    * drift, retrain). Requires a model written by `writeModel` (which
+    * persists the reference rate). */
+  def driftStats(docs: DataFrame, model: DataFrame,
+                 tol: Double = 0.15): DataFrame = {
+    require(model.columns.contains("train_keep_rate"),
+      "Probe.driftStats needs train_keep_rate — write the model via " +
+        "Probe.writeModel")
+    score(docs, model)
+      .agg(count("*").as("n_docs"),
+        sum("pred").cast("long").as("n_keep"))
+      .crossJoin(broadcast(model.select("train_keep_rate")))
+      .withColumn("keep_frac",
+        round(col("n_keep") * lit(1e0) / col("n_docs"), 6))
+      .withColumn("drift",
+        round(abs(col("keep_frac") - col("train_keep_rate")), 6))
+      .withColumn("retrain", col("drift") > lit(tol))
+      .select("n_docs", "n_keep", "keep_frac", "train_keep_rate",
+        "drift", "retrain")
+  }
 
   /** Score a shard against a trained model: ONE narrow pass — features,
     * a broadcast 1-row model join, the score and the decision. Emits

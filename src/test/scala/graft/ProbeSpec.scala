@@ -48,4 +48,26 @@ class ProbeSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(means(1) > means(0), means.toString)
   }
+
+  test("driftStats: in-distribution shard quiet, junk flood fires the retrain alarm") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_drift_${System.nanoTime()}").getAbsolutePath
+    Probe.writeModel(docs, path)
+    val model = Probe.openModel(spark, path)
+    // the training corpus itself: keep_frac == train_keep_rate, drift 0
+    val quiet = Probe.driftStats(docs, model).head()
+    assert(quiet.getDouble(4) == 0.0 && !quiet.getBoolean(5), quiet.toString)
+    // a junk flood: every doc fails the probe, keep_frac collapses to 0
+    // and the divergence from the training rate fires the alarm
+    val junk = (1L to 50L).map(i => (i, "tiny junk"))
+      .toDF("doc_id", "text")
+    val alarm = Probe.driftStats(junk, model).head()
+    assert(alarm.getLong(1) == 0L && alarm.getDouble(2) == 0.0 &&
+      alarm.getBoolean(5), alarm.toString)
+    // a model file without the reference rate is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Probe.driftStats(docs, model.drop("train_keep_rate"))
+    }
+  }
 }
