@@ -220,6 +220,19 @@ object Demo {
     println(s"[demo] quality probe (24 GD iters in-engine): " +
       s"${probe.getLong(0)}/${probe.getLong(1)} label agreement, " +
       f"scores ${probe.getDouble(2)}%.3f..${probe.getDouble(3)}%.3f")
+    // the probe's retrain trigger: serve the model with its training
+    // keep rate, then watch a junk flood collapse the shard keep rate
+    val pmPath = s"$outDir/probe_demo"
+    val pmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    ops.Probe.writeModel(pmDocs, pmPath)
+    val pm = ops.Probe.openModel(spark, pmPath)
+    val junkFlood = spark.range(1, 41)
+      .selectExpr("id AS doc_id", "'tiny junk' AS text")
+    val pq = ops.Probe.driftStats(pmDocs, pm).head()
+    val pa = ops.Probe.driftStats(junkFlood, pm).head()
+    println(f"[demo] probe drift: corpus keep ${pq.getDouble(2)}%.3f vs " +
+      f"train ${pq.getDouble(3)}%.3f (quiet); junk flood keep " +
+      f"${pa.getDouble(2)}%.3f -> retrain=${pa.getBoolean(5)}")
     // the whole curation loop: every serving structure composed
     val cur = SparkEntry.queries("x38_curation_e2e")(spark, sfDir)
       .groupBy("decision").agg(
