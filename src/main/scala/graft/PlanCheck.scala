@@ -39,7 +39,11 @@ object PlanCheck {
                   "t13_quality_probe",
                   // span removal (one window per doc, gh equi-joins) and
                   // the bigram LM (hash aggs to a broadcast model frame)
-                  "x39_substr_dedup", "t14_lm_score")) {
+                  "x39_substr_dedup", "t14_lm_score",
+                  // drift tier: the all-SQL alarm (multi-scan CTE chain is
+                  // the ORACLE's cost; serving is x43's one-pass form) and
+                  // the served alarm (broadcast model, single shard pass)
+                  "x42_lm_drift", "x43_lm_drift_served")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
