@@ -88,8 +88,10 @@ object StreamingCuration {
   def compactCorpus(spark: SparkSession, path: String): Long =
     CellsMaintenance.compact(spark, path, crashBeforeSwap = false, docsDirs)
 
-  /** Bootstrap ALL serving state once from the existing corpus: the four
-    * Curation indexes plus the corpus text table the loop grows. */
+  /** Bootstrap ALL serving state once from the existing corpus: the
+    * Curation indexes (minhash, mix stats, probe model, LM — plus the
+    * gram index when the state scrubs) and the corpus text table the
+    * loop grows. */
   def bootstrap(corpus: DataFrame, ixs: Curation.Indexes,
                 corpusPath: String): Unit = {
     Curation.bootstrap(corpus, ixs)
