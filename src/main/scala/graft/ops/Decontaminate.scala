@@ -227,8 +227,11 @@ object Decontaminate {
     * (same layout contract as the served minhash index). */
   final case class GramIndex(grams: DataFrame, n: Int)
 
+  /** The index's table triple plus the compaction stage names a crashed
+    * maintenance run can leave behind. */
   private def gramIndexTables(table: String): Seq[String] =
-    Seq(table, s"${table}_params", s"${table}_epochs")
+    Seq("", "_params", "_epochs").flatMap(s =>
+      Seq(s"$table$s", s"$table${s}_cstage"))
 
   /** Build the index of an existing corpus ONCE: one gram pass reduced to
     * distinct hashes, written bucketed+sorted by gh. */
@@ -249,6 +252,9 @@ object Decontaminate {
         rm(loc)
       }
     }
+    // a rebuild starts maintenance history over — a stale pending marker
+    // would resurrect a dead stage over the fresh tables
+    java.nio.file.Files.deleteIfExists(gramCompactMarker(spark, table))
     docs.select(wordsOf(col(textCol)).as("w"))
       .select(explode(gramsFromWords(col("w"), n)).as("gh"))
       .distinct()
@@ -265,14 +271,21 @@ object Decontaminate {
     * pass appended into the bucket layout (probes keep streaming the index
     * with no exchange). A gram already present under an earlier epoch
     * simply repeats; the semi/anti probes are set-semantics, so duplicate
-    * rows cannot change any answer (a rebuild is the compaction story).
-    * Replays are no-ops via the tiny epoch ledger. */
+    * rows cannot change any answer — `compactGramIndex` folds the
+    * accumulated epochs (and the duplicate rows) into one distinct-gh
+    * baseline. Replays are no-ops via the tiny epoch ledger, and stay
+    * no-ops for folded epochs (their grams live on inside the baseline). */
   def appendToGramIndex(shard: DataFrame, textCol: String,
                         table: String, epoch: Long): Unit = {
     val spark = shard.sparkSession
     import spark.implicits._
     require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
+    finishPendingGramCompact(spark, table)
     refreshGramTables(spark, table)
+    // a folded epoch's grams live on inside the baseline, so its replayed
+    // append stays a no-op — set semantics make this exact, not lossy
+    if (epoch <= gramMaxFoldedOf(spark.table(s"${table}_params").head()))
+      return
     if (spark.table(s"${table}_epochs").filter(col("epoch") === epoch)
         .limit(1).count() > 0) return
     val p = spark.table(s"${table}_params").head()
@@ -298,20 +311,114 @@ object Decontaminate {
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
 
+  private def gramCompactMarker(spark: org.apache.spark.sql.SparkSession,
+                                table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"_compact_pending_$table")
+
+  /** Params tables written before gram compaction existed lack the
+    * max_folded_epoch column — read it tolerantly. */
+  private def gramMaxFoldedOf(p: org.apache.spark.sql.Row): Long =
+    if (p.schema.fieldNames.contains("max_folded_epoch"))
+      p.getAs[Long]("max_folded_epoch")
+    else -1L
+
+  /** Gram-index maintenance — the same story as `compactMinhashIndex`:
+    * every accepted shard appends its DISTINCT grams as an epoch, so at
+    * shard-per-hour ingestion the bucketed table accretes files AND
+    * duplicate gh rows (a keeper's gram that was already in the corpus
+    * repeats under the new epoch — harmless to the set-semantics probes,
+    * but paid on every scan forever). Compaction rewrites the table as
+    * ONE distinct-gh baseline under the max folded epoch, keeping the
+    * SAME bucket spec (the no-shuffle probe layout survives), collapses
+    * the epoch ledger to the baseline row, and records the fold point in
+    * the params table. Probes answer byte-identically; a folded epoch
+    * can no longer be EXCLUDED (`openGramIndex(excludeEpoch)` refuses it
+    * loudly — compact only while ingestion is quiescent), while a folded
+    * epoch's replayed APPEND stays a correct no-op (its grams live on in
+    * the baseline).
+    *
+    * Crash safety: stage tables first (invisible), then an atomically-
+    * published marker makes the three-table swap recoverable; open and
+    * append paths finish a crashed swap. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String): Long =
+    compactGramIndexImpl(spark, table, crashBeforeSwap = false)
+
+  /** `crashBeforeSwap` is a test seam: throw after the marker publishes
+    * but before the swap — the worst crash point recovery must finish. */
+  private[graft] def compactGramIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      crashBeforeSwap: Boolean): Long = {
+    import spark.implicits._
+    finishPendingGramCompact(spark, table)
+    refreshGramTables(spark, table)
+    val p = spark.table(s"${table}_params").head()
+    val (n, nBuckets) = (p.getInt(0), p.getInt(1))
+    val mf = gramMaxFoldedOf(p)
+    val baseline = spark.table(s"${table}_epochs")
+      .agg(max("epoch")).head().getLong(0)
+    if (baseline <= mf) return mf // already compact
+    spark.table(table).select("gh").distinct()
+      .withColumn("epoch", lit(baseline))
+      .write.mode("overwrite").bucketBy(nBuckets, "gh").sortBy("gh")
+      .format("parquet").saveAsTable(s"${table}_cstage")
+    Seq((n, nBuckets, baseline)).toDF("n", "n_buckets", "max_folded_epoch")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_params_cstage")
+    Seq(Tuple1(baseline)).toDF("epoch")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_epochs_cstage")
+    val marker = gramCompactMarker(spark, table)
+    val tmp = java.nio.file.Paths.get(marker.toString + ".tmp")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(tmp, table)
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (crashBeforeSwap)
+      throw new IllegalStateException("test crash seam: before gram swap")
+    finishPendingGramCompact(spark, table)
+    baseline
+  }
+
+  /** Complete a compaction swap (idempotent — a missing stage means that
+    * table's swap already happened). */
+  private def finishPendingGramCompact(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val marker = gramCompactMarker(spark, table)
+    if (!java.nio.file.Files.exists(marker)) return
+    for (suffix <- Seq("", "_params", "_epochs")) {
+      val (stage, dest) = (s"$table${suffix}_cstage", s"$table$suffix")
+      if (spark.catalog.tableExists(stage)) {
+        spark.sql(s"DROP TABLE IF EXISTS $dest")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $dest")
+      }
+    }
+    java.nio.file.Files.deleteIfExists(marker)
+    ()
+  }
+
   /** `excludeEpoch` is the streaming-replay view: gram rows THIS batch's
     * crashed accept may already have appended are filtered out, so a
     * replayed scrub sees the exact pre-accept index (without it, a
     * replayed keeper would find its own grams indexed and scrub itself
-    * to nothing). Gram epochs are never folded (a rebuild is the
-    * compaction story), so the filter is always valid. */
+    * to nothing). An epoch already folded by `compactGramIndex` cannot
+    * be excluded — refused loudly (quiescence contract). */
   def openGramIndex(spark: org.apache.spark.sql.SparkSession,
                     table: String,
                     excludeEpoch: Option[Long] = None): GramIndex = {
+    finishPendingGramCompact(spark, table)
     refreshGramTables(spark, table)
+    val p = spark.table(s"${table}_params").head()
+    excludeEpoch.foreach(e => require(e > gramMaxFoldedOf(p),
+      s"excludeEpoch=$e was folded by gram-index compaction " +
+        s"(max_folded_epoch=${gramMaxFoldedOf(p)}); its rows are " +
+        "indistinguishable inside the baseline — compact only while " +
+        "ingestion is quiescent"))
     val g = spark.table(table)
     val gf = excludeEpoch.map(e => g.filter(col("epoch") =!= e)).getOrElse(g)
-    GramIndex(gf.select("gh"),
-      spark.table(s"${table}_params").head().getInt(0))
+    GramIndex(gf.select("gh"), p.getInt(0))
   }
 
   /** `removeDupSpans` for an incoming shard against a WRITTEN gram index —

@@ -301,6 +301,75 @@ class DecontaminateSpec extends AnyFunSuite {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("gram-index compaction: epochs and duplicate rows fold to one baseline; probes identical; interlocks fire; crash recovered") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "corp boiler plate one two " + ("alpha beta gamma " * 3)),
+      (2L, "unrelated corpus prose with distinct tokens entirely")
+    ).toDF("doc_id", "text")
+    val table = s"gi_cpt_${System.nanoTime()}"
+    Decontaminate.writeGramIndex(corpus, "text", table, n = 3)
+    // epoch 1 REPEATS a corpus run (duplicate gh rows across epochs);
+    // epoch 2 brings fresh grams
+    Decontaminate.appendToGramIndex(
+      Seq((10L, "corp boiler plate one two extra suffix here"))
+        .toDF("doc_id", "text"), "text", table, epoch = 1L)
+    Decontaminate.appendToGramIndex(
+      Seq((11L, "totally fresh second epoch content words"))
+        .toDF("doc_id", "text"), "text", table, epoch = 2L)
+    val probeShard = Seq(
+      (30L, "intro corp boiler plate one two outro"),
+      (31L, "totally fresh second epoch content words clone"),
+      (32L, "fully unique shard content nothing shared")
+    ).toDF("doc_id", "text")
+    def scrub() = Decontaminate.removeDupSpansServed(probeShard, "doc_id",
+        "text", Decontaminate.openGramIndex(spark, table))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3))))
+      .toMap
+    val before = scrub()
+    assert(before(30L)._1 > 0 && before(31L)._1 > 0 && before(32L)._1 == 0)
+    val distinctGh = spark.table(table).select("gh").distinct().count()
+    assert(spark.table(table).count() > distinctGh,
+      "epoch 1 should have planted duplicate gh rows")
+    // fold; idempotent second call; one distinct-gh baseline row set
+    assert(Decontaminate.compactGramIndex(spark, table) == 2L)
+    assert(Decontaminate.compactGramIndex(spark, table) == 2L)
+    assert(spark.table(table).count() == distinctGh)
+    val ep = spark.table(table).agg(org.apache.spark.sql.functions.min("epoch"), org.apache.spark.sql.functions.max("epoch")).head()
+    assert(ep.getLong(0) == 2L && ep.getLong(1) == 2L, ep.toString)
+    assert(scrub() == before, "probe answers changed by compaction")
+    // folded-epoch interlocks: a replayed append of epoch 1 stays a
+    // no-op (its grams live in the baseline); excluding a folded epoch
+    // is refused loudly
+    val n0 = spark.table(table).count()
+    Decontaminate.appendToGramIndex(
+      Seq((10L, "corp boiler plate one two extra suffix here"))
+        .toDF("doc_id", "text"), "text", table, epoch = 1L)
+    assert(spark.table(table).count() == n0, "folded replay appended rows")
+    assertThrows[IllegalArgumentException] {
+      Decontaminate.openGramIndex(spark, table, excludeEpoch = Some(2L))
+    }
+    // ingestion continues after compaction; fresh epochs stay excludable
+    Decontaminate.appendToGramIndex(
+      Seq((12L, "entirely new third epoch material lands"))
+        .toDF("doc_id", "text"), "text", table, epoch = 3L)
+    Decontaminate.openGramIndex(spark, table, excludeEpoch = Some(3L))
+    // crash at the worst point (marker published, swap pending): the
+    // next open finishes the swap and the baseline is the new fold point
+    Decontaminate.appendToGramIndex(
+      Seq((13L, "more words for the next epoch here"))
+        .toDF("doc_id", "text"), "text", table, epoch = 4L)
+    assertThrows[IllegalStateException] {
+      Decontaminate.compactGramIndexImpl(spark, table, crashBeforeSwap = true)
+    }
+    Decontaminate.openGramIndex(spark, table)
+    val ep2 = spark.table(table).agg(org.apache.spark.sql.functions.min("epoch"), org.apache.spark.sql.functions.max("epoch")).head()
+    assert(ep2.getLong(0) == 4L && ep2.getLong(1) == 4L, ep2.toString)
+    Seq("", "_params", "_epochs").flatMap(x =>
+        Seq(s"$table$x", s"$table${x}_cstage"))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("served gram index plan: the bucketed index streams into both probes with no exchange") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
