@@ -124,8 +124,8 @@ object Demo {
           "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq").as("text")))
     val drift = ops.Lm.driftStats(junkShard, ops.Lm.openModel(spark, lmPath))
       .orderBy("lang").collect()
-      .map(r => f"${r.getString(0)}=${r.getDouble(5)}%.2f" +
-        (if (r.getBoolean(6)) "!" else "")).mkString(" ")
+      .map(r => f"${r.getString(0)}=${r.getAs[Double]("below_frac")}%.2f" +
+        (if (r.getAs[Boolean]("retrain")) "!" else "")).mkString(" ")
     println(s"[demo] LM drift on a half-junk shard: below-cut frac $drift (!=retrain)")
     // multimodal: real container decodes (PNG stills, multi-frame GIFs, WAV audio)
     val frames = SparkEntry.queries("x12_media_frames")(spark, sfDir)

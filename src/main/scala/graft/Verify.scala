@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Inside `sbt "runMain graft.Verify <sf> 2>/dev/null"` the redirect is
+    // NOT shell-parsed — it arrives as this argument and a literal `2>`
+    // directory of run artifacts lands in the repo (happened once, got
+    // committed). Refuse redirect-shaped output paths loudly instead.
+    require(!outDir.exists(c => c == '>' || c == '<' || c == '|'),
+      s"outDir '$outDir' looks like an unparsed shell redirect — " +
+        "quote the sbt command so redirects stay in the shell")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -215,5 +215,10 @@ object Lm {
         round(col("n_below") * lit(1e0) / col("n_docs"), 6))
       .withColumn("retrain",
         col("has_cut") && col("below_frac") > lit(retrainFrac))
+      // pin the documented column order — withColumn appends, and a
+      // positional caller following the scaladoc would otherwise read
+      // mean_score where it expects below_frac
+      .select("lang", "n_docs", "n_below", "below_frac", "mean_score",
+        "has_cut", "retrain")
   }
 }

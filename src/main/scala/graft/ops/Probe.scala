@@ -58,8 +58,10 @@ object Probe {
     * stream's quality distribution shows up as the shard KEEP RATE
     * diverging from the persisted training keep rate. One shard-scale
     * agg to a single row: (n_docs, n_keep, keep_frac, train_keep_rate,
-    * drift, retrain). Requires a model written by `writeModel` (which
-    * persists the reference rate). */
+    * drift, retrain). An EMPTY shard (n_docs = 0) is a defined signal:
+    * keep_frac = 0 and retrain fires — zero delivered documents is an
+    * upstream problem a null row would hide. Requires a model written by
+    * `writeModel` (which persists the reference rate). */
   def driftStats(docs: DataFrame, model: DataFrame,
                  tol: Double = 0.15): DataFrame = {
     require(model.columns.contains("train_keep_rate"),
@@ -67,13 +69,19 @@ object Probe {
         "Probe.writeModel")
     score(docs, model)
       .agg(count("*").as("n_docs"),
-        sum("pred").cast("long").as("n_keep"))
+        coalesce(sum("pred"), lit(0L)).cast("long").as("n_keep"))
       .crossJoin(broadcast(model.select("train_keep_rate")))
+      // n_docs = 0 must be a DEFINED signal, not a row of nulls: a shard
+      // that delivered zero documents is itself drift-worthy (an upstream
+      // outage reads as "no alarm" to any null-tolerant monitor). Define
+      // keep_frac = 0 and FIRE retrain for the empty shard.
       .withColumn("keep_frac",
-        round(col("n_keep") * lit(1e0) / col("n_docs"), 6))
+        when(col("n_docs") > 0,
+          round(col("n_keep") * lit(1e0) / col("n_docs"), 6))
+          .otherwise(lit(0.0)))
       .withColumn("drift",
         round(abs(col("keep_frac") - col("train_keep_rate")), 6))
-      .withColumn("retrain", col("drift") > lit(tol))
+      .withColumn("retrain", col("n_docs") === 0 || col("drift") > lit(tol))
       .select("n_docs", "n_keep", "keep_frac", "train_keep_rate",
         "drift", "retrain")
   }

@@ -142,10 +142,16 @@ class LmSpec extends AnyFunSuite {
     // a healthy shard: real corpus docs stay at or above the training
     // minimum, so below_frac = 0 and retrain stays quiet
     val healthy = docs.select("doc_id", "lang", "text").limit(40)
-    val quiet = Lm.driftStats(healthy, model).collect()
+    val quietDf = Lm.driftStats(healthy, model)
+    // the documented column order is pinned (a withColumn-appended schema
+    // once let the scaladoc and the actual order drift apart)
+    assert(quietDf.columns.toSeq == Seq("lang", "n_docs", "n_below",
+      "below_frac", "mean_score", "has_cut", "retrain"))
+    val quiet = quietDf.collect()
       .map(r => r.getString(0) -> r).toMap
     quiet.values.foreach { r =>
-      assert(r.getLong(2) == 0L && !r.getBoolean(6), r.toString)
+      assert(r.getAs[Long]("n_below") == 0L && !r.getAs[Boolean]("retrain"),
+        r.toString)
     }
     // an upstream encoding regression: half the 'en' shard turns to
     // consonant salad -> below_frac 0.5 > 0.1 -> retrain fires for 'en'
@@ -158,12 +164,15 @@ class LmSpec extends AnyFunSuite {
     val drift = Lm.driftStats(shard, model).collect()
       .map(r => r.getString(0) -> r).toMap
     val en = drift("en")
-    assert(en.getLong(1) == 20L && en.getLong(2) == 10L &&
-      en.getDouble(5) == 0.5 && en.getBoolean(6), en.toString)
+    assert(en.getAs[Long]("n_docs") == 20L &&
+      en.getAs[Long]("n_below") == 10L &&
+      en.getAs[Double]("below_frac") == 0.5 &&
+      en.getAs[Boolean]("retrain"), en.toString)
     // 'xx' was never trained: no cut, ungated, never fires — the signal
     // for a NEW language is has_cut=false, not a retrain alarm
     val xx = drift("xx")
-    assert(!xx.getBoolean(4) && xx.getLong(2) == 0L && !xx.getBoolean(6),
+    assert(!xx.getAs[Boolean]("has_cut") &&
+      xx.getAs[Long]("n_below") == 0L && !xx.getAs[Boolean]("retrain"),
       xx.toString)
   }
 }

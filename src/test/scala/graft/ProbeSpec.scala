@@ -69,5 +69,12 @@ class ProbeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Probe.driftStats(docs, model.drop("train_keep_rate"))
     }
+    // an EMPTY shard is a defined signal, not a null row: zero delivered
+    // docs reads keep_frac = 0 with the alarm FIRING (an upstream outage
+    // must not look like "no drift" to a null-tolerant monitor)
+    val empty = Probe.driftStats(docs.limit(0), model).head()
+    assert(empty.getAs[Long]("n_docs") == 0L &&
+      empty.getAs[Double]("keep_frac") == 0.0 &&
+      empty.getAs[Boolean]("retrain"), empty.toString)
   }
 }
