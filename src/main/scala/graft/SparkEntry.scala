@@ -667,6 +667,54 @@ object SparkEntry {
         .select(col("text").as("snippet"))
       pipeline.Curation.curateShard(s, shard, corpus, ixs, bench, "snippet")
         .orderBy("doc_id")
+    }),
+    // The FULL curation loop, scrub included (pipeline.Curation with
+    // gramTable set, requireScrub = true): bootstrap builds the served
+    // duplicated-gram index beside the other serving state, the incoming
+    // shard is SCRUBBED of corpus boilerplate before any decision
+    // (RefinedWeb order; text-preserving rebuild, so untouched docs pass
+    // through verbatim), then the d11 decision chain runs on the cleaned
+    // text. A planted full clone of indexed corpus content scrubs to
+    // empty and drops at the first empty-doc gate. Output carries the
+    // per-doc scrub count (words removed) beside the decision. Rows-only
+    // by harness contract (xxhash64 gram/minhash probes); the scrub is
+    // value-pinned by x41 + DecontaminateSpec, the composition by
+    // CurationSpec/StreamingCurationSpec.
+    "x44_curation_scrubbed" -> ((s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      // id-threshold split (not modulo): the gram/minhash index contract
+      // wants every shard id above every indexed id
+      val t = docs.agg(ceil(max(col("doc_id")) * 3L / 4L)).head().getLong(0)
+      val corpus = docs.filter(col("doc_id") < t)
+      val clone = corpus.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"),
+          col("source"), col("lang"))
+      val shardRaw = docs.filter(col("doc_id") >= t).unionByName(clone)
+      val hex = Integer.toHexString(dir.hashCode)
+      val ixs = pipeline.Curation.Indexes(
+        minhashTable = s"mh_x44_$hex",
+        statsPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x44_stats_$hex").getAbsolutePath,
+        modelPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x44_model_$hex").getAbsolutePath,
+        lmPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x44_lm_$hex").getAbsolutePath,
+        gramTable = Some(s"gx_x44_$hex"))
+      pipeline.Curation.bootstrap(corpus, ixs, requireScrub = true)
+      val bench = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("text").as("snippet"))
+      val scrubbed = pipeline.Curation.scrubShard(s, shardRaw, ixs)
+      val nWords = "size(filter(split(lower(regexp_replace(text, " +
+        "'[^a-zA-Z0-9]+', ' ')), ' '), w -> length(w) > 0))"
+      val scrubCount = shardRaw
+        .selectExpr("doc_id", s"$nWords AS n_raw")
+        .join(scrubbed.selectExpr("doc_id", s"$nWords AS n_kept"), "doc_id")
+        .selectExpr("doc_id", "n_raw - n_kept AS n_scrubbed_words")
+      pipeline.Curation
+        .curateShard(s, scrubbed, corpus, ixs, bench, "snippet")
+        .join(scrubCount, "doc_id")
+        .orderBy("doc_id")
     })
   )
 

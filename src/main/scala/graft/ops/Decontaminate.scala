@@ -435,11 +435,20 @@ object Decontaminate {
     * the index side; only shard-scale rows shuffle. */
   def removeDupSpansServed(shard: DataFrame, idCol: String, textCol: String,
                            index: GramIndex): DataFrame = {
-    val n = index.n
     val w = shard.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
     val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val marked = servedMarked(w, index)
+    rebuildWithoutMarked(shard.select(col(idCol).as("id")), tok, marked,
+        index.n)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The served marked-position computation shared by the normalized and
+    * the text-preserving rebuilds. `w` is (id, w: array<string>) of
+    * normalized words; returns (id, pos) gram starts to cut. */
+  private def servedMarked(w: DataFrame, index: GramIndex): DataFrame = {
     val grams = w.select(col("id"),
-      posexplode(gramsFromWords(col("w"), n)).as(Seq("pos", "gh")))
+      posexplode(gramsFromWords(col("w"), index.n)).as(Seq("pos", "gh")))
     // the index may hold duplicate gh rows across epochs — semi/anti are
     // the fan-out-proof probes (a left join would multiply positions)
     val hit = grams.join(index.grams, Seq("gh"), "left_semi")
@@ -452,8 +461,89 @@ object Decontaminate {
       .filter(col("id") =!= col("keeper"))
       .select("id", "pos")
     // disjoint by construction (semi vs anti on the same probe)
-    val marked = hit.union(shardMarked)
-    rebuildWithoutMarked(shard.select(col(idCol).as("id")), tok, marked, n)
+    hit.union(shardMarked)
+  }
+
+  /** Codepoint start offsets (0-based) of the alnum word runs in a text —
+    * the bridge from normalized word POSITIONS back to ORIGINAL character
+    * spans. A loopy regex scan with no Catalyst equivalent (one matcher
+    * pass per row, narrow); offsets are codepoints, not UTF-16 units, so
+    * they line up with Spark's substring semantics on any text. */
+  private val runStartsUdf = udf { s: String =>
+    if (s == null) Array.empty[Int]
+    else {
+      val m = java.util.regex.Pattern.compile("[a-zA-Z0-9]+").matcher(s)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var lastChar = 0; var lastCp = 0
+      while (m.find()) {
+        lastCp += s.codePointCount(lastChar, m.start()); lastChar = m.start()
+        b += lastCp
+      }
+      b.toArray
+    }
+  }
+
+  /** `removeDupSpansServed` with the ORIGINAL text preserved — the form
+    * the curation loop serves (Curation.scrubShard). The normalized
+    * rebuild is right for the gram algebra (x39/x41 pin it value-exact)
+    * but wrong as the surviving DOCUMENT: lowercasing and
+    * punctuation-stripping every shard doc shifts quality-probe / LM
+    * features off their raw-corpus training distribution (train/serve
+    * skew) and persists a mangled corpus. Here:
+    *   - a doc with NOTHING removed passes through VERBATIM (byte-equal);
+    *   - a doc with removed spans is rebuilt from original codepoint
+    *     slices: kept word `i` contributes text[start(i), start(i+1))
+    *     (its run plus the punctuation/whitespace up to the next word;
+    *     the last word runs to end-of-text), so case and punctuation
+    *     survive on all kept content — RefinedWeb-style span removal
+    *     keeps the surviving original text intact;
+    *   - a full clone of indexed content still rebuilds to "".
+    * Invariant (spec-pinned): normalizing the preserved rebuild yields
+    * exactly the words of the normalized rebuild, so every downstream
+    * gram/minhash consumer sees identical keys either way.
+    * Output: (idCol, n_words, n_removed, text_clean). */
+  def removeDupSpansServedPreserving(shard: DataFrame, idCol: String,
+                                     textCol: String,
+                                     index: GramIndex): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = index.n
+    val w = shard.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+    val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
+    val marked = servedMarked(w, index)
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = tok
+      .join(marked.withColumn("mk", lit(true)), Seq("id", "pos"), "left")
+      .withColumn("cov_end", max(when(col("mk"), col("pos") + n)).over(win))
+    val kept = cov.filter(col("cov_end").isNull || col("cov_end") <= col("pos"))
+    val nw = tok.groupBy("id").agg(count("*").cast("int").as("n_words"))
+    val keptAgg = kept.groupBy("id")
+      .agg(sort_array(collect_list("pos")).as("kp"))
+    shard.select(col(idCol).as("id"), col(textCol).as("_text")).distinct()
+      .join(nw, Seq("id"), "left")
+      .join(keptAgg, Seq("id"), "left")
+      // bind per-row scalars OUTSIDE the transform lambda (a free
+      // expression is re-evaluated per element)
+      .withColumn("_starts", runStartsUdf(col("_text")))
+      .withColumn("_nst", size(col("_starts")))
+      .withColumn("_tlen", length(col("_text")))
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0)).as("n_words"),
+        (coalesce(col("n_words"), lit(0)) -
+          coalesce(size(col("kp")), lit(0))).as("n_removed"),
+        when(coalesce(col("n_words"), lit(0)) ===
+            coalesce(size(col("kp")), lit(0)),
+          coalesce(col("_text"), lit("")))             // untouched: verbatim
+          .otherwise(regexp_replace(regexp_replace(
+            array_join(transform(
+              coalesce(col("kp"), expr("CAST(array() AS ARRAY<INT>)")),
+              p => col("_text").substr(
+                element_at(col("_starts"), p + 1) + 1,
+                when(p + 2 <= col("_nst"), element_at(col("_starts"), p + 2))
+                  .otherwise(col("_tlen"))
+                  - element_at(col("_starts"), p + 1))), ""),
+            "^\\s+", ""), "\\s+$", ""))
+          .as("text_clean"))
       .withColumnRenamed("id", idCol)
   }
 

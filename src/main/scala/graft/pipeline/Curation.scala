@@ -44,8 +44,21 @@ object Curation {
                            gramTable: Option[String] = None)
 
   /** Build all serving state ONCE from the existing corpus (which must
-    * carry doc_id, text, source AND lang — the LM is per-language). */
-  def bootstrap(corpus: DataFrame, ixs: Indexes): Unit = {
+    * carry doc_id, text, source AND lang — the LM is per-language).
+    * A state with NO gram table runs the loop scrub-less — that is a
+    * contract choice, not a silent default: bootstrap says so on stderr,
+    * and a caller that considers the scrub part of the loop's contract
+    * passes `requireScrub = true` to fail loudly instead (the same
+    * interlock discipline as every other serving table). */
+  def bootstrap(corpus: DataFrame, ixs: Indexes,
+                requireScrub: Boolean = false): Unit = {
+    require(!requireScrub || ixs.gramTable.nonEmpty,
+      "requireScrub: this curation state has no gram table — the loop " +
+        "would run WITHOUT the pre-decision boilerplate scrub; set " +
+        "Indexes.gramTable or drop requireScrub")
+    if (ixs.gramTable.isEmpty)
+      System.err.println("[curation] bootstrap without a gram table: the " +
+        "loop runs SCRUB-LESS (no pre-decision duplicated-span removal)")
     Dedup.writeMinhashIndex(corpus, "doc_id", "text", ixs.minhashTable)
     Mix.writeStats(corpus, ixs.statsPath)
     Probe.writeModel(corpus, ixs.modelPath)
@@ -57,8 +70,14 @@ object Curation {
   /** The pre-decision scrub: duplicated-span removal against the served
     * gram index — corpus boilerplate (licence headers, templated chrome)
     * vanishes from shard docs BEFORE dedup/quality/mix look at them, so
-    * every downstream decision acts on content, not chrome. A full clone
-    * of indexed text scrubs to empty and falls to the quality gate — the
+    * every downstream decision acts on content, not chrome. Uses the
+    * TEXT-PRESERVING rebuild: an untouched doc passes through verbatim
+    * and a scrubbed doc keeps original case/punctuation on surviving
+    * content — the probe and LM were fitted on raw corpus text, so the
+    * normalized rebuild would shift every served feature off the
+    * training distribution (train/serve skew), and keepers would persist
+    * mangled text into the curated corpus. A full clone of indexed text
+    * still scrubs to empty and falls to the quality gate — the
     * degenerate case is still caught, just under a different label.
     * No-op when the state has no gram index. `excludeEpoch` is the
     * streaming-replay view (see `Decontaminate.openGramIndex`). */
@@ -69,7 +88,7 @@ object Curation {
       case Some(t) =>
         val idx = Decontaminate.openGramIndex(spark, t, excludeEpoch)
         val clean = Decontaminate
-          .removeDupSpansServed(shard, "doc_id", "text", idx)
+          .removeDupSpansServedPreserving(shard, "doc_id", "text", idx)
           .select(col("doc_id"), col("text_clean"))
         shard.drop("text").join(clean, "doc_id")
           .withColumnRenamed("text_clean", "text")

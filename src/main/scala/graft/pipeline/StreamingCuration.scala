@@ -93,8 +93,8 @@ object StreamingCuration {
     * gram index when the state scrubs) and the corpus text table the
     * loop grows. */
   def bootstrap(corpus: DataFrame, ixs: Curation.Indexes,
-                corpusPath: String): Unit = {
-    Curation.bootstrap(corpus, ixs)
+                corpusPath: String, requireScrub: Boolean = false): Unit = {
+    Curation.bootstrap(corpus, ixs, requireScrub)
     writeCorpus(corpus, corpusPath)
   }
 

@@ -25,6 +25,17 @@ class CurationSpec extends AnyFunSuite {
     Seq(table, s"${table}_counts", s"${table}_params")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
+  test("requireScrub: a scrub-less state is refused loudly at bootstrap") {
+    val ix = ixs("reqscrub") // gramTable = None
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("lang")).limit(10)
+    val e = intercept[IllegalArgumentException] {
+      Curation.bootstrap(docs, ix, requireScrub = true)
+    }
+    assert(e.getMessage.contains("gram table"), e.getMessage)
+  }
+
   test("all six decisions fire; accepted keepers are caught by the next shard's probe") {
     val ix = ixs("e2e")
     dropTables(ix.minhashTable)

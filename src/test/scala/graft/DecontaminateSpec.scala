@@ -301,6 +301,73 @@ class DecontaminateSpec extends AnyFunSuite {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("preserving scrub: verbatim pass-through, case/punct survive removals, normalized projection invariant") {
+    import spark.implicits._
+    val corpusBoiler = "corp boiler plate one two " + ("alpha beta gamma " * 3)
+    val corpus = Seq((1L, corpusBoiler)).toDF("doc_id", "text")
+    val table = s"gi_presv_${System.nanoTime()}"
+    Decontaminate.writeGramIndex(corpus, "text", table, n = 3)
+    val idx = Decontaminate.openGramIndex(spark, table)
+    val untouched = "Fully unique; SHARD content — nothing élsé shared?!"
+    val shard = Seq(
+      (10L, "Intro: Corp BOILER plate, one two — Outro stays!"),
+      (13L, untouched),
+      (14L, corpusBoiler.trim)                          // full clone of indexed text
+    ).toDF("doc_id", "text")
+    val out = Decontaminate
+      .removeDupSpansServedPreserving(shard, "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the indexed run is cut; surviving words keep case AND the original
+    // punctuation attached through the next word boundary
+    assert(out(10L)._2 == 5 && out(10L)._3 == "Intro: Outro stays!",
+      out(10L).toString)
+    // nothing removed -> byte-identical pass-through (no normalization)
+    assert(out(13L)._2 == 0 && out(13L)._3 == untouched, out(13L).toString)
+    // a full clone of indexed content still empties (degenerate case)
+    assert(out(14L)._2 == out(14L)._1 && out(14L)._3 == "", out(14L).toString)
+
+    // invariant on a real corpus split: per-doc n_words/n_removed equal
+    // the normalized form's, and normalizing the preserved text yields
+    // exactly the normalized rebuild — downstream gram/minhash consumers
+    // see identical keys either way
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents")
+    val docsDf = spark.sql(
+      s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+    val t = spark.sql(
+      "SELECT CAST(floor((max(doc_id) + 1) * 3 / 4) AS BIGINT) FROM documents")
+      .head().getLong(0)
+    val table2 = s"gi_presv2_${System.nanoTime()}"
+    val c2 = docsDf.filter(org.apache.spark.sql.functions.col("doc_id") < t)
+    val s2 = docsDf.filter(org.apache.spark.sql.functions.col("doc_id") >= t)
+    Decontaminate.writeGramIndex(c2, "ctext", table2)
+    val idx2 = Decontaminate.openGramIndex(spark, table2)
+    def norm(s: String): String =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ")
+    val presv = Decontaminate
+      .removeDupSpansServedPreserving(s2, "doc_id", "ctext", idx2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val normd = Decontaminate
+      .removeDupSpansServed(s2, "doc_id", "ctext", idx2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(presv.keySet == normd.keySet)
+    presv.foreach { case (id, (nwP, nrP, txtP)) =>
+      val (nwN, nrN, txtN) = normd(id)
+      assert(nwP == nwN && nrP == nrN, s"doc $id counts differ")
+      assert(norm(txtP) == txtN, s"doc $id normalized projection differs")
+    }
+    assert(presv.values.exists(_._2 > 0), "expected some removal on the split")
+    assert(presv.values.exists(v => v._2 == 0 && v._3.exists(_.isUpper)),
+      "expected untouched docs passing through with original case")
+    Seq(table, s"${table}_params", s"${table}_epochs",
+        table2, s"${table2}_params", s"${table2}_epochs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("gram-index compaction: epochs and duplicate rows fold to one baseline; probes identical; interlocks fire; crash recovered") {
     import spark.implicits._
     val corpus = Seq(

@@ -227,8 +227,9 @@ class StreamingCurationSpec extends AnyFunSuite {
     // boilerplate words are gone, the novel content survives
     val kept = StreamingCuration.openCorpus(spark, corpusPath)
       .filter(col("doc_id") === 930001L).select("text").as[String].head()
-    // the rebuild emits normalized lowercase words; the novel content
-    // survives, every boiler word (none shared with `unique`) is gone
+    // the rebuild PRESERVES original case/punctuation on surviving
+    // content; the novel content survives, every boiler word (none
+    // shared with `unique`) is gone
     assert(kept.contains("astronomers") && kept.contains("observatory"), kept)
     val uniqWords = unique.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).toSet
