@@ -18,6 +18,7 @@ object ProbeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    gen.Corpus.dumpSpans(spark, sfDir, SparkEntry.CorpusSpansDump)
     wanted.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")

@@ -751,9 +751,48 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Fixed path of the synthesized-span parquet dump (gen.Corpus
+    * .dumpSpans, written by Verify/ProbeQ once per sweep) — the bridge
+    * that lets DuckDB oracle-check corpus-derived queries it could never
+    * synthesize itself. */
+  val CorpusSpansDump = "/tmp/graft_corpus_spans"
+
+  /** x09's independent DuckDB twin over the span dump: the P26 density
+    * predicate (same arithmetic as the oracle-green p26_boiler) applied
+    * to every html span, non-html spans pass through, content html
+    * rewrites to a paragraph — re-deriving (n_spans, n_kept, n_html,
+    * n_paragraphs) per document without running any Scala. */
+  private val X09OracleDuck: String =
+    s"""WITH s AS (
+       | SELECT doc_id, kind, text,
+       |  CASE WHEN kind = 'html' THEN regexp_replace(text, '<[^>]+>', '', 'g') END AS stripped,
+       |  CASE WHEN kind = 'html' THEN coalesce(list_sum(list_transform(
+       |   regexp_extract_all(text, '(?i)<a[^>]*>(.*?)</a>', 1),
+       |   x -> length(regexp_replace(x, '<[^>]+>', '', 'g')))), 0) END AS link_chars
+       | FROM read_parquet('$CorpusSpansDump/*.parquet')
+       |), k AS (
+       | SELECT doc_id, kind,
+       |  CASE WHEN kind <> 'html' THEN 1
+       |       WHEN length(text) > 0
+       |        AND length(stripped) * 1e0 / length(text) >= 0.35
+       |        AND link_chars * 1e0 / nullif(length(stripped), 0) <= 0.33 THEN 1
+       |       ELSE 0 END AS kept
+       | FROM s
+       |)
+       |SELECT doc_id,
+       | CAST(count(*) AS INT) AS n_spans,
+       | CAST(sum(kept) AS INT) AS n_kept,
+       | CAST(sum(CASE WHEN kind = 'html' THEN 1 ELSE 0 END) AS INT) AS n_html,
+       | CAST(sum(CASE WHEN kept = 1 AND kind IN ('paragraph', 'html') THEN 1 ELSE 0 END) AS INT) AS n_paragraphs
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] =
     shared.map { case (name, (_, duckSql)) => name -> duckSql } +
       ("v04_schema_export" -> SchemaExportOracle) +
+      // x09 rides the span DUMP (gen.Corpus.dumpSpans): the live Scala
+      // synthesizer + stripBoilerplate on the Spark side vs a pure-SQL
+      // density re-derivation over the dumped rows on the DuckDB side
+      ("x09_boiler_strip" -> X09OracleDuck) +
       ("d07_dedup_components" -> TrainingQueries.D07OracleDuck) +
       ("d08_embed_components" -> TrainingQueries.D08OracleDuck) +
       // deterministic typed operators get direct DuckDB oracles too:

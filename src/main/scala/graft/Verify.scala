@@ -22,6 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the span dump DuckDB oracles read (x09): overwritten per sweep so
+    // the compare that follows sees this sfDir's corpus
+    gen.Corpus.dumpSpans(spark, sfDir, SparkEntry.CorpusSpansDump)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

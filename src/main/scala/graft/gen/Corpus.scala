@@ -173,4 +173,19 @@ object Corpus {
         (0 until replicate).iterator.map(r => synth(id + r.toLong * 10000000L, text))
       }
   }
+
+  /** Dump the synthesized span table to parquet — the oracle bridge for
+    * corpus-derived driver queries: DuckDB cannot run `synth` (splitmix64
+    * needs wrapping 64-bit multiplies), but it CAN read the dumped rows
+    * and re-derive pure-arithmetic results over them (x09's density-strip
+    * counts). Verify/ProbeQ overwrite this once per sweep, right before
+    * oracle_sql.json, so the DuckDB pass that follows reads the dump of
+    * the SAME sfDir it is comparing. */
+  def dumpSpans(spark: SparkSession, sfDir: String, outPath: String): Unit = {
+    import spark.implicits._
+    corpus(spark, sfDir)
+      .flatMap(d => d.spans.map(s => (d.doc_id, s.kind, s.text, s.media_ref, s.offset)))
+      .toDF("doc_id", "kind", "text", "media_ref", "offset")
+      .write.mode("overwrite").parquet(outPath)
+  }
 }
