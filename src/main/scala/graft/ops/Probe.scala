@@ -42,10 +42,34 @@ object Probe {
     * TRAINING keep rate (fraction of training docs the fitted model
     * keeps), the reference point `driftStats` compares shards against.
     * The model frame is materialized once so the rate pass doesn't rerun
-    * the GD chain. */
-  def writeModel(docs: DataFrame, path: String): Unit = {
-    val m = train(docs).localCheckpoint()
-    val rate = score(docs, m)
+    * the GD chain.
+    *
+    * `sampleN`: fit on an unbiased seeded hash-sample of ~sampleN docs
+    * instead of the full corpus — the FineWeb/DCLM posture. The exact GD
+    * chain is 24 FULL corpus scans; at 100 TB that is 24 passes to fit
+    * five numbers, while the classifier literature trains on a small
+    * sample. The sample is `xxhash64(doc_id, salt) % m == 0` (same
+    * id-prefix-bias-free filter as Ann.hashSample), so retrains are
+    * deterministic per (corpus, sampleN, nHint) and the sample is
+    * distribution-faithful; train_keep_rate is measured on the same
+    * sample (it IS the training distribution driftStats compares
+    * against). Default None keeps the exact full-batch fit — the
+    * x37-pinned path — byte-identical. `nHint` skips the sizing count
+    * when the caller already knows the corpus size to order of
+    * magnitude. */
+  def writeModel(docs: DataFrame, path: String,
+                 sampleN: Option[Long] = None, nHint: Long = -1L): Unit = {
+    val tranche = sampleN match {
+      case None => docs
+      case Some(k) =>
+        require(k > 0, s"sampleN must be positive: $k")
+        val n = if (nHint >= 0L) nHint else docs.count()
+        val m = math.max(1L, n / k)
+        docs.filter(
+          pmod(xxhash64(col("doc_id"), lit("graft-probe-sample")), lit(m)) === 0)
+    }
+    val m = train(tranche).localCheckpoint()
+    val rate = score(tranche, m)
       .agg(round(avg("pred"), 6).as("train_keep_rate"))
     m.crossJoin(rate).coalesce(1).write.mode("overwrite").parquet(path)
   }

@@ -49,6 +49,33 @@ class ProbeSpec extends AnyFunSuite {
     assert(means(1) > means(0), means.toString)
   }
 
+  test("sampled bootstrap: seeded hash-sample fit is deterministic and gate-agrees with the full fit") {
+    val full = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_sf_${System.nanoTime()}").getAbsolutePath
+    val samp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_ss_${System.nanoTime()}").getAbsolutePath
+    Probe.writeModel(docs, full)
+    Probe.writeModel(docs, samp, sampleN = Some(200L))
+    // deterministic retrain: same (corpus, sampleN) -> byte-equal model
+    val samp2 = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probespec_ss2_${System.nanoTime()}").getAbsolutePath
+    Probe.writeModel(docs, samp2, sampleN = Some(200L), nHint = 500L)
+    assert(Probe.openModel(spark, samp).collect().toSeq ==
+      Probe.openModel(spark, samp2).collect().toSeq)
+    // the sampled fit is a real sample, not the whole corpus (the filter
+    // modulus was > 1), and its decisions agree with the exact fit on the
+    // overwhelming majority of the gate corpus
+    val pf = Probe.score(docs, Probe.openModel(spark, full))
+      .select("doc_id", "pred").withColumnRenamed("pred", "pf")
+    val ps = Probe.score(docs, Probe.openModel(spark, samp))
+      .select("doc_id", "pred").withColumnRenamed("pred", "ps")
+    val j = pf.join(ps, "doc_id")
+    val n = j.count()
+    val agree = j.filter(col("pf") === col("ps")).count()
+    assert(n == docs.filter(col("text").isNotNull).count())
+    assert(agree * 1.0 / n >= 0.9, s"sampled/full gate agreement $agree/$n")
+  }
+
   test("driftStats: in-distribution shard quiet, junk flood fires the retrain alarm") {
     import spark.implicits._
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
