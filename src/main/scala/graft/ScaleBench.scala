@@ -35,12 +35,26 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val abc = "abcdefghijklmnopqrstuvwxyz"
+    // Per-replica alphabet permutation: AFFINE map i -> a*i + b (mod 26),
+    // a coprime to 26 — 312 distinct permutations, so replicas stay
+    // DISTINCT documents well past the 26 a Caesar shift allows (at 100x
+    // a shift-based replica r would equal replica r+26 verbatim — the
+    // 4-way-clone pathology, not scale-up). Two distinct affine maps
+    // agree on at most one letter, so no word of >= 2 distinct letters —
+    // hence no shingle/gram — collides across replicas.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def perm(r: Int): String = {
+      val a = coprimes(r % coprimes.length)
+      val b = (r / coprimes.length) % 26
+      (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
+    }
     val base1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
     def docsAt(k: Int): DataFrame = {
+      require(k <= 312, s"k=$k exceeds the 312 distinct affine replicas")
       val base = base1
       (0 until k).map { r =>
-        val sh = abc.drop(r % 26) + abc.take(r % 26)
+        val sh = perm(r)
         base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           translate(col("text"), abc + abc.toUpperCase,
             sh + sh.toUpperCase).as("text"), col("lang"))
@@ -55,6 +69,30 @@ object ScaleBench {
       }.minBy(_._1)
 
     spark.range(1000).selectExpr("sum(id)").collect() // codegen warmup
+
+    // SPARK_GRAFT_STAGES=growers: run ONLY the two payload-dominated
+    // stages (13-gram decontaminate + ExactSubstr span removal) — the
+    // 100x tier that pins their growth ~linear in total text without
+    // paying for the already-flat stages at that scale
+    val stages = sys.env.getOrElse("SPARK_GRAFT_STAGES", "all")
+    if (stages == "growers") {
+      scales.foreach { k =>
+        val docs = docsAt(k)
+        val nDocs = docs.count()
+        val (tDecon, nCont) = bestOf3 {
+          ops.Decontaminate.contaminated(
+            docs.filter("doc_id % 10 <> 7"), "doc_id", "text",
+            docs.filter("doc_id % 10 = 7"), "text", n = 13).count()
+        }
+        val (tSub, nSub) = bestOf3 {
+          ops.Decontaminate.removeDupSpans(docs, "doc_id", "text")
+            .filter("n_removed > 0").count()
+        }
+        println(s"""{"scale":$k,"n_docs":$nDocs,"decontaminate_sec":${f"$tDecon%.3f"},"n_contaminated":$nCont,"substr_dedup_sec":${f"$tSub%.3f"},"n_sub_docs":$nSub,"stages":"growers","sf":"$sfDir","cpus":$cpus}""")
+      }
+      spark.stop()
+      return
+    }
 
     scales.foreach { k =>
       val docs = docsAt(k)
