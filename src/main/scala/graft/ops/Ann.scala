@@ -65,7 +65,12 @@ object Ann {
     *
     * Crash safety: the staged rewrite is invisible (`cells_stage`), an
     * atomically-published `_compact_pending` marker makes the directory
-    * swap recoverable, and open paths finish a crashed swap. */
+    * swap recoverable, and open paths finish a crashed swap.
+    *
+    * Single-writer contract: one LIVE writer per table path (appends AND
+    * compaction) — the streaming checkpoint enforces the one owner in
+    * deployment. Epoch idempotence covers crashed-writer replays, not
+    * two concurrent lives (see Dedup.appendToMinhashIndex). */
   private[graft] object CellsMaintenance {
 
     /** One epoch-partitioned dataset under an index root: its directory

@@ -274,7 +274,9 @@ object Decontaminate {
     * rows cannot change any answer — `compactGramIndex` folds the
     * accumulated epochs (and the duplicate rows) into one distinct-gh
     * baseline. Replays are no-ops via the tiny epoch ledger, and stay
-    * no-ops for folded epochs (their grams live on inside the baseline). */
+    * no-ops for folded epochs (their grams live on inside the baseline).
+    * Single-writer contract as everywhere in the serving tier: one live
+    * writer per table (see Dedup.appendToMinhashIndex). */
   def appendToGramIndex(shard: DataFrame, textCol: String,
                         table: String, epoch: Long): Unit = {
     val spark = shard.sparkSession

@@ -177,7 +177,14 @@ object Dedup {
     * the keys it touches), so no rewrite of corpus-scale state happens at
     * ingest time. `epoch` tags the shard's rows (auto = max existing + 1
     * when negative); appending an epoch that is already present is a
-    * NO-OP, which makes a replayed streaming batch idempotent. */
+    * NO-OP, which makes a replayed streaming batch idempotent.
+    *
+    * SINGLE-WRITER CONTRACT (all serving-table epoch appends): exactly
+    * one LIVE writer per table — the deployment owner is the streaming
+    * query, whose checkpoint already enforces one active instance. The
+    * epoch ledger makes CRASHED-writer replays idempotent; it is not
+    * mutual exclusion between two concurrent writers (two lives racing
+    * the same epoch check could both append). */
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            table: String, epoch: Long = -1L): Unit = {
     val spark = docs.sparkSession

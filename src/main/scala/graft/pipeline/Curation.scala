@@ -187,7 +187,10 @@ object Curation {
   /** Fold an accepted shard's keepers into the serving state as one
     * epoch: the minhash index grows (future shards dedup against these
     * docs) and the domain stats shift the mix. Both appends are
-    * replay-idempotent under the same epoch. */
+    * replay-idempotent under the same epoch. Single-writer contract:
+    * one live accept loop per serving state (the streaming checkpoint is
+    * the owner lock in deployment) — idempotence covers crashed-writer
+    * replays, not two concurrent writers racing the same epoch. */
   def acceptShard(keepers: DataFrame, ixs: Indexes, epoch: Long): Unit = {
     Dedup.appendToMinhashIndex(keepers, "doc_id", "text", ixs.minhashTable,
       epoch)
