@@ -241,6 +241,14 @@ object Demo {
       .orderBy("decision")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"[demo] curation loop (bootstrap indexes -> curate shard): $cur")
+    // the FULL loop with the gram index: preserving scrub before
+    // decisions, per-doc scrub counts beside the decision
+    val curS = SparkEntry.queries("x44_curation_scrubbed")(spark, sfDir)
+    val scrubTouched = curS
+      .filter($"n_scrubbed_words" > 0).count()
+    val curSTotal = curS.count()
+    println(s"[demo] scrubbed curation loop: $scrubTouched of $curSTotal " +
+      "shard docs had corpus-duplicated spans cut before decisions")
     val manifest = io.Snapshots.latest(outDir)
     println(s"[demo] snapshot manifest: ${manifest.map(_.snapshotId).getOrElse("-")} " +
       s"(docs_ok=${manifest.map(_.docsOk).getOrElse(-1L)})")
