@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   * (first pass doubles as warmup, same estimator as Bench).
   */
 object ScaleBench {
+
+  private[graft] val abc = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-replica alphabet permutation: AFFINE map i -> a*i + b (mod 26),
+    * a coprime to 26 — 312 distinct permutations, so replicas stay
+    * DISTINCT documents well past the 26 a Caesar shift allows (at 100x
+    * a shift-based replica r would equal replica r+26 verbatim — the
+    * 4-way-clone pathology, not scale-up). Two distinct affine maps
+    * agree on at most TWO letters (both slopes odd, so the difference
+    * map has gcd 2 with 26), so no word of >= 3 distinct letters —
+    * hence no real-text shingle/gram — collides across replicas (pinned
+    * by ScaleBenchSpec; empirically, contamination/span counts scale
+    * exactly with the replica count through 100x). */
+  private[graft] def affinePerm(r: Int): String = {
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = coprimes(r % coprimes.length)
+    val b = (r / coprimes.length) % 26
+    (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,27 +53,13 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val abc = "abcdefghijklmnopqrstuvwxyz"
-    // Per-replica alphabet permutation: AFFINE map i -> a*i + b (mod 26),
-    // a coprime to 26 — 312 distinct permutations, so replicas stay
-    // DISTINCT documents well past the 26 a Caesar shift allows (at 100x
-    // a shift-based replica r would equal replica r+26 verbatim — the
-    // 4-way-clone pathology, not scale-up). Two distinct affine maps
-    // agree on at most one letter, so no word of >= 2 distinct letters —
-    // hence no shingle/gram — collides across replicas.
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    def perm(r: Int): String = {
-      val a = coprimes(r % coprimes.length)
-      val b = (r / coprimes.length) % 26
-      (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar).mkString
-    }
     val base1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
     def docsAt(k: Int): DataFrame = {
       require(k <= 312, s"k=$k exceeds the 312 distinct affine replicas")
       val base = base1
       (0 until k).map { r =>
-        val sh = perm(r)
+        val sh = affinePerm(r)
         base.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           translate(col("text"), abc + abc.toUpperCase,
             sh + sh.toUpperCase).as("text"), col("lang"))
