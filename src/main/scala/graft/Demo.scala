@@ -127,6 +127,16 @@ object Demo {
       .map(r => f"${r.getString(0)}=${r.getAs[Double]("below_frac")}%.2f" +
         (if (r.getAs[Boolean]("retrain")) "!" else "")).mkString(" ")
     println(s"[demo] LM drift on a half-junk shard: below-cut frac $drift (!=retrain)")
+    // the alarm's ACTION: refit on the grown corpus (which now carries the
+    // junk register) and republish through the crash-safe version pointer
+    // — the same shard stops alarming against the refit half-min cuts
+    val vNew = ops.Lm.retrainModel(lmDocs.unionByName(junkShard), lmPath)
+    val after = ops.Lm.driftStats(junkShard, ops.Lm.openModel(spark, lmPath))
+      .agg(org.apache.spark.sql.functions.sum($"n_below"),
+        org.apache.spark.sql.functions.max($"retrain".cast("int"))).head()
+    println(s"[demo] LM retrain: republished v$vNew " +
+      s"(${io.Models.currentDir(lmPath)}), same shard now n_below=" +
+      s"${after.getLong(0)} retrain_fired=${after.getInt(1) == 1}")
     // multimodal: real container decodes (PNG stills, multi-frame GIFs, WAV audio)
     val frames = SparkEntry.queries("x12_media_frames")(spark, sfDir)
     val multi = frames.filter($"n_frames" > 1).select("media_ref").distinct().count()

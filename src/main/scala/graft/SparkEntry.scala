@@ -715,6 +715,46 @@ object SparkEntry {
         .curateShard(s, scrubbed, corpus, ixs, bench, "snippet")
         .join(scrubCount, "doc_id")
         .orderBy("doc_id")
+    }),
+    // The LM drift alarm CLOSED into its ACTION (ops.Lm.retrainModel):
+    // phase 'before' is x43's served alarm (fires on the planted junk);
+    // then the model RETRAINS on the grown corpus — documents plus the
+    // junk register the stream now carries — and republishes through the
+    // crash-safe versioned pointer (graft.io.Models: complete v1 lands,
+    // THEN CURRENT moves; a crash leaves readers on v0). Phase 'after'
+    // scores the SAME shard against the refit half-min cuts: the junk's
+    // own scores define each language's training minimum, so the alarm
+    // clears deterministically. Value-exact vs a DuckDB twin that
+    // re-derives BOTH models and both drift passes in pure SQL
+    // (X45OracleDuck) — the retrain ACTION itself is oracle-gated, not
+    // just the trigger.
+    "x45_lm_retrain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x45_lm_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Lm.writeModel(docs, path)
+      val junk = Seq("de", "en", "es", "fr", "zh").flatMap { l =>
+        val stem = s"91${l.map(_.toInt).mkString}"
+        Seq((s"${stem}01".toLong, l,
+          "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz"),
+          (s"${stem}02".toLong, l,
+            "qvxk zjqw kvxz jqzv xkqj vzqx wkjq zxvq jkqz vqxj kzjv qxwz"))
+      }.toDF("doc_id", "lang", "text")
+      val shard = docs.filter(col("doc_id") % 100 === 3).unionByName(junk)
+      def phaseRows(phase: String, version: Long) =
+        ops.Lm.driftStats(shard, ops.Lm.openModel(s, path))
+          .select(lit(phase).as("phase"), col("lang"), col("n_docs"),
+            col("n_below"), col("below_frac"),
+            col("retrain").cast("int").as("retrain"),
+            lit(version).as("version"))
+      // bound BEFORE the retrain: openModel dereferences the pointer at
+      // call time, so this plan reads v0 (which the publish never touches)
+      val before = phaseRows("before", io.Models.current(path))
+      val v1 = ops.Lm.retrainModel(docs.unionByName(junk), path)
+      before.unionByName(phaseRows("after", v1))
+        .orderBy("phase", "lang")
     })
   )
 
@@ -820,5 +860,8 @@ object SparkEntry {
       ("x40_lm_served" -> shared("t14_lm_score")._2) +
       // the served drift alarm must reproduce the all-SQL twin —
       // same oracle as x42
-      ("x43_lm_drift_served" -> shared("x42_lm_drift")._2)
+      ("x43_lm_drift_served" -> shared("x42_lm_drift")._2) +
+      // the retrain ACTION: before/after drift vs a DuckDB twin that
+      // re-derives both the bootstrap and the refit model in pure SQL
+      ("x45_lm_retrain" -> TrainingQueries.X45OracleDuck)
 }

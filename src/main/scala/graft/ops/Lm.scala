@@ -109,21 +109,47 @@ object Lm {
     * threshold tuning, not serving. Cuts are bootstrap-time state — count
     * ingestion does not move them; a scheduled retrain does. */
   def writeModel(docs: DataFrame, path: String): Unit = {
-    CellsMaintenance.reset(path, countsDirs)
-    bigramStats(docs).withColumn("epoch", lit(0L))
-      .write.partitionBy("epoch").mode("overwrite").parquet(s"$path/counts")
-    val m = modelFromCounts(
-      docs.sparkSession.read.parquet(s"$path/counts"))
-    score(docs, m)
-      .groupBy("lang").agg((min("lm_score") / 2).as("lm_cut"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
+    graft.io.Models.reset(path)
+    buildTo(docs, s"$path/v0")
+    graft.io.Models.publish(path, 0L)
   }
 
+  /** The LM's drift-alarm ACTION: rebuild counts AND the per-language
+    * cuts from the (grown) corpus, published as a new model version —
+    * `CURRENT` moves only after the complete rebuild lands, so readers
+    * never see a torn model and a crashed retrain is retried over the
+    * same staging directory. Epoch history restarts at 0 under the new
+    * version (retrain is a rebase, not an append). Single-writer,
+    * quiescent-loop contract — same as compaction. */
+  def retrainModel(docs: DataFrame, path: String): Long = {
+    val (n, dir) = graft.io.Models.nextDir(path)
+    buildTo(docs, dir)
+    graft.io.Models.publish(path, n)
+    n
+  }
+
+  private def buildTo(docs: DataFrame, dir: String): Unit = {
+    CellsMaintenance.reset(dir, countsDirs)
+    bigramStats(docs).withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").mode("overwrite").parquet(s"$dir/counts")
+    val m = modelFromCounts(
+      docs.sparkSession.read.parquet(s"$dir/counts"))
+    score(docs, m)
+      .groupBy("lang").agg((min("lm_score") / 2).as("lm_cut"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cuts")
+  }
+
+  /** The CURRENT version's directory — every count/cut read and append
+    * below dereferences the pointer, so a retrain-published model takes
+    * effect atomically across all of them. */
+  private def cur(path: String): String = graft.io.Models.currentDir(path)
+
   /** Replay guard: an epoch is "in" once its partition committed or once
-    * compaction folded it into the baseline. */
+    * compaction folded it into the baseline (within the CURRENT model
+    * version — a retrain rebases epoch history). */
   def epochInCounts(spark: SparkSession, path: String, epoch: Long): Boolean =
-    epoch <= CellsMaintenance.maxFolded(path) ||
-      spark.read.parquet(s"$path/counts")
+    epoch <= CellsMaintenance.maxFolded(cur(path)) ||
+      spark.read.parquet(s"${cur(path)}/counts")
         .filter(col("epoch").cast("long") === epoch).limit(1).count() > 0
 
   /** Shard-scale ingest: one aggregate over the shard lands as an epoch
@@ -133,23 +159,26 @@ object Lm {
     * by compaction is refused loudly (`CellsMaintenance` interlock). */
   def appendCounts(shard: DataFrame, path: String, epoch: Long): Unit = {
     require(epoch > 0L, s"epoch must be positive (0 is the base build): $epoch")
-    CellsMaintenance.requireAppendable(path, epoch, countsDirs)
+    val d = cur(path)
+    CellsMaintenance.requireAppendable(d, epoch, countsDirs)
     bigramStats(shard).withColumn("epoch", lit(epoch))
       .write.partitionBy("epoch")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/counts")
+      .mode("overwrite").parquet(s"$d/counts")
   }
 
   /** Fold ingestion epochs into one baseline row per (lang, bigram). */
   def compactCounts(spark: SparkSession, path: String): Long =
-    CellsMaintenance.compact(spark, path, crashBeforeSwap = false, countsDirs)
+    CellsMaintenance.compact(spark, cur(path), crashBeforeSwap = false,
+      countsDirs)
 
   /** Reopen the model (finishing any crashed compaction swap first). */
   def openModel(spark: SparkSession, path: String): Model = {
-    CellsMaintenance.finishPending(path, countsDirs)
-    val cuts = if (new java.io.File(s"$path/cuts").exists())
-      Some(spark.read.parquet(s"$path/cuts")) else None
-    modelFromCounts(spark.read.parquet(s"$path/counts"), cuts)
+    val d = cur(path)
+    CellsMaintenance.finishPending(d, countsDirs)
+    val cuts = if (new java.io.File(s"$d/cuts").exists())
+      Some(spark.read.parquet(s"$d/cuts")) else None
+    modelFromCounts(spark.read.parquet(s"$d/counts"), cuts)
   }
 
   /** Score a shard against a trained model: per-doc bigram counts joined

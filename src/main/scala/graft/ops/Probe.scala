@@ -42,7 +42,9 @@ object Probe {
     * TRAINING keep rate (fraction of training docs the fitted model
     * keeps), the reference point `driftStats` compares shards against.
     * The model frame is materialized once so the rate pass doesn't rerun
-    * the GD chain.
+    * the GD chain. The write is a BOOTSTRAP: version history starts over
+    * at v0 under the `graft.io.Models` pointer layout (readers
+    * dereference `path/CURRENT`; a crashed write is invisible).
     *
     * `sampleN`: fit on an unbiased seeded hash-sample of ~sampleN docs
     * instead of the full corpus — the FineWeb/DCLM posture. The exact GD
@@ -59,6 +61,27 @@ object Probe {
     * magnitude. */
   def writeModel(docs: DataFrame, path: String,
                  sampleN: Option[Long] = None, nHint: Long = -1L): Unit = {
+    graft.io.Models.reset(path)
+    fitTo(docs, s"$path/v0", sampleN, nHint)
+    graft.io.Models.publish(path, 0L)
+  }
+
+  /** The drift alarm's ACTION: refit on the (grown) corpus and swap the
+    * served model crash-safely. Writes a complete new model under
+    * `path/v<n+1>` and only then moves the `CURRENT` pointer — a crash
+    * anywhere before the publish leaves every reader on the old model;
+    * the retry overwrites the same staging directory (idempotent).
+    * Single-writer, quiescent-loop contract — same as compaction. */
+  def retrainModel(docs: DataFrame, path: String,
+                   sampleN: Option[Long] = None, nHint: Long = -1L): Long = {
+    val (n, dir) = graft.io.Models.nextDir(path)
+    fitTo(docs, dir, sampleN, nHint)
+    graft.io.Models.publish(path, n)
+    n
+  }
+
+  private def fitTo(docs: DataFrame, dir: String,
+                    sampleN: Option[Long], nHint: Long): Unit = {
     val tranche = sampleN match {
       case None => docs
       case Some(k) =>
@@ -71,11 +94,11 @@ object Probe {
     val m = train(tranche).localCheckpoint()
     val rate = score(tranche, m)
       .agg(round(avg("pred"), 6).as("train_keep_rate"))
-    m.crossJoin(rate).coalesce(1).write.mode("overwrite").parquet(path)
+    m.crossJoin(rate).coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   def openModel(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(graft.io.Models.currentDir(path))
 
   /** The probe's retrain trigger — the same posture as `Lm.driftStats`:
     * the decision cut is bootstrap-time state, so a shift in the incoming

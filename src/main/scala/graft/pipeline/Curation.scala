@@ -184,6 +184,50 @@ object Curation {
           .otherwise(coalesce(col("n_copies"), lit(1))).as("n_copies"))
   }
 
+  /** The drift tier CLOSED into a loop: check both model alarms on a
+    * shard and ACT on whichever fires — refit on the grown corpus and
+    * swap the served model crash-safely (versioned pointer publish, see
+    * `graft.io.Models`). Call AFTER `acceptShard`, passing the corpus as
+    * grown — the retrain's reference distribution is the corpus the
+    * models now gate, including the distribution shift that fired the
+    * alarm (the FineWeb/CCNet posture: the classifier/LM refit on a
+    * fresh tranche of what the pipeline actually ingests).
+    *
+    * Alarm semantics are the models' own: the probe fires on shard
+    * keep-rate divergence (and on an EMPTY shard — a defined upstream
+    * signal; the refit it triggers is harmless), the LM fires per
+    * language on the below-cut fraction. `sampleN` forwards to the probe
+    * refit (24-pass GD on 100 TB wants the sampled bootstrap).
+    *
+    * Returns the 2-row report (model, fired, version): `version` is the
+    * newly published model version, or the unchanged current version
+    * when the alarm was quiet. Single-writer, quiescent-loop contract —
+    * retrain swaps state the loop reads, same discipline as compaction. */
+  def retrainIfDrifted(spark: SparkSession, shard: DataFrame,
+                       corpus: DataFrame, ixs: Indexes,
+                       probeTol: Double = 0.15, lmRetrainFrac: Double = 0.1,
+                       sampleN: Option[Long] = None): DataFrame = {
+    val probeFire = Probe
+      .driftStats(shard, Probe.openModel(spark, ixs.modelPath), probeTol)
+      .select("retrain").head().getBoolean(0)
+    val probeV =
+      if (probeFire) Probe.retrainModel(corpus, ixs.modelPath, sampleN)
+      else graft.io.Models.current(ixs.modelPath)
+    // an empty shard yields ZERO per-language rows — max(retrain) over
+    // nothing is null; coalesce keeps "no languages delivered" from
+    // reading as an LM alarm (the probe's n_docs=0 rule owns that signal)
+    val lmFire = Lm
+      .driftStats(shard, Lm.openModel(spark, ixs.lmPath), lmRetrainFrac)
+      .agg(coalesce(max("retrain"), lit(false)).as("fired"))
+      .head().getBoolean(0)
+    val lmV =
+      if (lmFire) Lm.retrainModel(corpus, ixs.lmPath)
+      else graft.io.Models.current(ixs.lmPath)
+    import spark.implicits._
+    Seq(("probe", probeFire, probeV), ("lm", lmFire, lmV))
+      .toDF("model", "fired", "version")
+  }
+
   /** Fold an accepted shard's keepers into the serving state as one
     * epoch: the minhash index grows (future shards dedup against these
     * docs) and the domain stats shift the mix. Both appends are

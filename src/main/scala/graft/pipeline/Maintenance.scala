@@ -18,8 +18,9 @@ import graft.ops.{Ann, Decontaminate, Dedup, Lm, Mix}
   * baseline (spec-pinned in MaintenanceSpec) — the loud case is exactly
   * a maintenance window run while a batch was still uncommitted.
   *
-  * The probe model and LM cuts are single-file bootstrap state with no
-  * epochs — nothing to compact; they move by retrain only. */
+  * The probe model and LM cuts move by retrain (versioned pointer
+  * publish, `graft.io.Models`); the window's job for them is pruning
+  * superseded and crashed-attempt version directories. */
 object Maintenance {
 
   /** One compacted table: which serving table, and the fold point (max
@@ -53,6 +54,15 @@ object Maintenance {
       out += Fold("ivfpq_cells", p, Ann.Pq.compactIvfPqIndex(spark, p)))
     knnCorpusPath.foreach(p =>
       out += Fold("knn_corpus", p, Ann.compactKnnCorpus(spark, p)))
+    // model roots: prune superseded/crashed retrain versions; the fold
+    // point reported is the CURRENT (surviving) version
+    out += Fold("probe_model", ixs.modelPath, pruneModels(ixs.modelPath))
+    out += Fold("lm_model", ixs.lmPath, pruneModels(ixs.lmPath))
     out.result()
+  }
+
+  private def pruneModels(root: String): Long = {
+    graft.io.Models.prune(root)
+    graft.io.Models.current(root)
   }
 }

@@ -216,6 +216,85 @@ object TrainingQueries {
        |ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for x45_lm_retrain — the LM drift alarm CLOSED into
+    * its ACTION, value-exact: phase 'before' re-derives x42's alarm (the
+    * model trained on `documents`, the drift shard — a deterministic
+    * corpus slice + planted consonant-salad junk — scored through the
+    * full smoothing-fallback path, per-language below-cut fraction > 0.1
+    * firing); phase 'after' re-derives the RETRAINED model over the
+    * grown corpus (documents UNION ALL the junk — the FineWeb/CCNet
+    * posture: refit on what the pipeline now ingests) and scores the
+    * SAME shard against the refit half-min cuts. The junk register's own
+    * scores now define each language's training minimum, so cut = min/2
+    * sits strictly below every shard score — n_below = 0 for every
+    * language, the alarm clears, and version moves 0 → 1 (the Spark
+    * side reports `graft.io.Models.current` around `Lm.retrainModel`'s
+    * crash-safe pointer publish). Both model chains share the shard's
+    * bigram counts (`sbgc`); every comparison is exact by the x42
+    * construction (quantized BIGINT scores, exact halving, integer
+    * division). */
+  val X45OracleDuck: String = {
+    val d = Dialect.Duck
+    val junk = Seq("de", "en", "es", "fr", "zh").flatMap { l =>
+      Seq(s"(CAST(91${l.map(_.toInt).mkString}01 AS BIGINT), '$l', " +
+        "'xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz')",
+        s"(CAST(91${l.map(_.toInt).mkString}02 AS BIGINT), '$l', " +
+          "'qvxk zjqw kvxz jqzv xkqj vzqx wkjq zxvq jkqz vqxj kzjv qxwz')")
+    }.mkString(", ")
+    // one model chain, suffixed: trained on `src`, cuts = half the
+    // training minimum, the shared shard counts scored against it
+    def chain(src: String, x: String): String =
+      s"""norm$x AS (SELECT doc_id, lang, ${LmSql.norm(d)} AS s FROM $src),
+         |bgx$x AS (SELECT doc_id, lang, ${LmSql.bigrams(d)} AS bg FROM norm$x),
+         |bgc$x AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bgx$x GROUP BY doc_id, lang, bg),
+         |mdl$x AS (SELECT lang, bg, CAST(sum(cnt) AS BIGINT) AS c2
+         |  FROM bgc$x GROUP BY lang, bg),
+         |pre$x AS (SELECT lang, substr(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+         |  FROM mdl$x GROUP BY lang, substr(bg, 1, 1)),
+         |qt$x AS (SELECT m.lang, m.bg, ${LmSql.q} AS q
+         |  FROM mdl$x m JOIN pre$x p ON m.lang = p.lang AND substr(m.bg, 1, 1) = p.c1),
+         |qdt$x AS (SELECT lang, c1, CAST(floor(1e9 / (c1n + 37)) AS BIGINT) AS qd FROM pre$x),
+         |tsc$x AS (SELECT b.doc_id, b.lang, CAST(sum(b.cnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(b.cnt * q.q) AS BIGINT) AS sum_q
+         |  FROM bgc$x b JOIN qt$x q ON b.lang = q.lang AND b.bg = q.bg
+         |  GROUP BY b.doc_id, b.lang),
+         |cuts$x AS (SELECT lang,
+         |  min(${LmSql.score("sum_q", "n_pos")}) / 2 AS lm_cut
+         |  FROM tsc$x GROUP BY lang),
+         |ssc$x AS (SELECT b.doc_id, b.lang, CAST(sum(b.cnt) AS BIGINT) AS n_pos,
+         |  CAST(sum(b.cnt * coalesce(q.q, p.qd, 27027027)) AS BIGINT) AS sum_q
+         |  FROM sbgc b LEFT JOIN qt$x q ON b.lang = q.lang AND b.bg = q.bg
+         |  LEFT JOIN qdt$x p ON b.lang = p.lang AND substr(b.bg, 1, 1) = p.c1
+         |  GROUP BY b.doc_id, b.lang),
+         |scored$x AS (SELECT s.doc_id, s.lang,
+         |  ${LmSql.score("coalesce(c.sum_q, 0)", "coalesce(c.n_pos, 0)")} AS lm_score
+         |  FROM shard s LEFT JOIN ssc$x c ON s.doc_id = c.doc_id),
+         |drift$x AS (SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  round(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*), 6) AS below_frac,
+         |  CAST(CASE WHEN round(sum(CASE WHEN sc.lm_score < k.lm_cut THEN 1 ELSE 0 END) * 1e0 / count(*), 6) > 0.1
+         |    THEN 1 ELSE 0 END AS INT) AS retrain
+         |FROM scored$x sc JOIN cuts$x k ON sc.lang = k.lang
+         |GROUP BY sc.lang, k.lm_cut)""".stripMargin
+    s"""WITH shard AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 = 3
+       |  UNION ALL SELECT * FROM (VALUES $junk) AS j(doc_id, lang, text)),
+       |grown AS (SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $junk) AS g(doc_id, lang, text)),
+       |snorm AS (SELECT doc_id, lang, ${LmSql.norm(d)} AS s FROM shard),
+       |sbg AS (SELECT doc_id, lang, ${LmSql.bigrams(d)} AS bg FROM snorm),
+       |sbgc AS (SELECT doc_id, lang, bg, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM sbg GROUP BY doc_id, lang, bg),
+       |${chain("documents", "0")},
+       |${chain("grown", "1")}
+       |SELECT 'before' AS phase, lang, n_docs, n_below, below_frac, retrain,
+       |  CAST(0 AS BIGINT) AS version FROM drift0
+       |UNION ALL
+       |SELECT 'after' AS phase, lang, n_docs, n_below, below_frac, retrain,
+       |  CAST(1 AS BIGINT) AS version FROM drift1
+       |ORDER BY phase, lang""".stripMargin.replace("\n", " ")
+  }
+
   /** The d14 mixture arithmetic as shared expression strings: the SQL tier
     * (mixBody, both dialects) and the served operator form (`ops.Mix`,
     * Spark dialect) render from the SAME builders, so their outputs are

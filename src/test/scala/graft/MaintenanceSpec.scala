@@ -61,13 +61,17 @@ class MaintenanceSpec extends AnyFunSuite {
     val folds = Maintenance.run(spark, ix, corpusPath = Some(corpusPath))
     val byTable = folds.map(f => f.table -> f.foldPoint).toMap
     assert(byTable.keySet == Set("minhash_index", "mix_stats", "lm_counts",
-      "gram_index", "corpus"), byTable.toString)
+      "gram_index", "corpus", "probe_model", "lm_model"), byTable.toString)
     // accept-fed tables folded both batch epochs; the LM counts are
     // bootstrap-only in this loop (retrain-only state) — never folded
     // reads -1 in the cells-layout convention
     for (t <- Seq("minhash_index", "mix_stats", "gram_index", "corpus"))
       assert(byTable(t) == 2L, s"$t fold point ${byTable(t)}")
     assert(byTable("lm_counts") == -1L, byTable.toString)
+    // model roots report the surviving (current) version: v0, no retrain
+    // has happened in this loop
+    assert(byTable("probe_model") == 0L, byTable.toString)
+    assert(byTable("lm_model") == 0L, byTable.toString)
 
     // probes across the window are byte-identical
     assert(probe() == pre, "probe diverged across the maintenance window")

@@ -268,10 +268,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(b1 == expected(s2, docs) && b1.nonEmpty)
     // replay batch 1 (crash between count append and offset commit): the
     // dynamic-overwrite epoch + derived scores reproduce identical state
-    val countsBefore = spark.read.parquet(s"$lmPath/counts")
+    val countsDir = s"${graft.io.Models.currentDir(lmPath)}/counts"
+    val countsBefore = spark.read.parquet(countsDir)
       .orderBy("lang", "bg", "epoch").collect().toSeq
     pipeline.StreamingLm.lmBatch(s2.toDF(), 1L, lmPath, outDir)
-    assert(spark.read.parquet(s"$lmPath/counts")
+    assert(spark.read.parquet(countsDir)
       .orderBy("lang", "bg", "epoch").collect().toSeq == countsBefore,
       "replay changed the counts")
     assert(scoresOf(s"$outDir/batch=000001") == b1, "replayed scores differ")
