@@ -755,6 +755,43 @@ object SparkEntry {
       val v1 = ops.Lm.retrainModel(docs.unionByName(junk), path)
       before.unionByName(phaseRows("after", v1))
         .orderBy("phase", "lang")
+    }),
+    // The PROBE drift alarm closed into its action (ops.Probe
+    // .retrainModel): phase 'before' fires on a junk-flooded shard
+    // (keep fraction collapses vs the persisted training keep rate);
+    // the refit then re-runs the FULL 24-iteration in-engine GD chain on
+    // the grown corpus and republishes through the versioned pointer.
+    // Phase 'after' measures the representative stream (the grown corpus
+    // itself): its keep fraction equals the refit train_keep_rate by
+    // construction — drift 0, quiet. (The probe gates junk OUT by
+    // design, so the junk shard would keep alarming under ANY fit —
+    // unlike the LM's register-adapting cut; this is RetrainSpec's
+    // convergence posture.) Value-exact vs a DuckDB twin re-deriving
+    // BOTH GD fits (X46OracleDuck) — with x45, both model retrain
+    // actions are oracle-gated end to end.
+    "x46_probe_retrain" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_x46_probe_model_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      ops.Probe.writeModel(docs, path)
+      val junk = (0 until 20).map(i => (920000L + i,
+        "xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz"))
+        .toDF("doc_id", "text")
+      val shard = docs.filter(col("doc_id") % 100 === 3).unionByName(junk)
+      def phaseRow(phase: String, over: DataFrame, version: Long) =
+        ops.Probe.driftStats(over, ops.Probe.openModel(s, path))
+          .select(lit(phase).as("phase"), col("n_docs"), col("n_keep"),
+            col("keep_frac"), col("train_keep_rate"), col("drift"),
+            col("retrain").cast("int").as("retrain"),
+            lit(version).as("version"))
+      // bound BEFORE the retrain: openModel dereferences the pointer at
+      // call time, so this plan reads v0 (which the publish never touches)
+      val grown = docs.unionByName(junk)
+      val before = phaseRow("before", shard, io.Models.current(path))
+      val v1 = ops.Probe.retrainModel(grown, path)
+      before.unionByName(phaseRow("after", grown, v1)).orderBy("phase")
     })
   )
 
@@ -863,5 +900,7 @@ object SparkEntry {
       ("x43_lm_drift_served" -> shared("x42_lm_drift")._2) +
       // the retrain ACTION: before/after drift vs a DuckDB twin that
       // re-derives both the bootstrap and the refit model in pure SQL
-      ("x45_lm_retrain" -> TrainingQueries.X45OracleDuck)
+      ("x45_lm_retrain" -> TrainingQueries.X45OracleDuck) +
+      // the probe retrain action: both GD fits re-derived in pure SQL
+      ("x46_probe_retrain" -> TrainingQueries.X46OracleDuck)
 }

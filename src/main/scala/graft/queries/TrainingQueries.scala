@@ -295,6 +295,69 @@ object TrainingQueries {
        |ORDER BY phase, lang""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for x46_probe_retrain — the PROBE drift alarm closed
+    * into its action, value-exact through BOTH gradient-descent fits:
+    * phase 'before' trains the t13 chain on `documents` (suffix `_a`),
+    * persists nothing but derives the same train_keep_rate
+    * `Probe.writeModel` stores, and measures a junk-flooded shard's keep
+    * fraction against it — the divergence fires; phase 'after' re-runs
+    * the ENTIRE 24-iteration GD chain on the grown corpus (documents
+    * UNION ALL the junk, suffix `_b`) and measures the grown stream
+    * itself, whose keep fraction equals the refit train_keep_rate by
+    * construction — drift 0, alarm quiet, version 0 → 1. Unlike the LM
+    * (whose refit cut adapts to the junk register and clears on the SAME
+    * shard), the probe gates junk OUT by design, so a junk-dominated
+    * shard keeps alarming under any fit: the cleared reading is the
+    * representative stream — exactly `RetrainSpec`'s convergence posture.
+    * The Spark side runs `ops.Probe.retrainModel` (the in-engine GD refit
+    * + crash-safe pointer publish); every number here is exact by t13's
+    * construction (quantized gradients, margin-midpoint cut, rounded
+    * rates). */
+  // lazy: renders via probeModelSql, which reads ProbeIters — declared
+  // further down this object, so a strict val here would see 0 mid-init
+  lazy val X46OracleDuck: String = {
+    val d = Dialect.Duck
+    val P = ProbeSql
+    val score = P.score
+    val junk = (0 until 20).map(i =>
+      s"(CAST(${920000 + i} AS BIGINT), " +
+        "'xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq zqxk jqvz')")
+      .mkString(", ")
+    def driftRow(phase: String, agg: String, rate: String, version: Int) =
+      s"""SELECT '$phase' AS phase, n_docs, n_keep,
+         |  round(n_keep * 1e0 / n_docs, 6) AS keep_frac, train_keep_rate,
+         |  round(abs(round(n_keep * 1e0 / n_docs, 6) - train_keep_rate), 6) AS drift,
+         |  CAST(CASE WHEN n_docs = 0 OR
+         |    round(abs(round(n_keep * 1e0 / n_docs, 6) - train_keep_rate), 6) > 15e-2
+         |    THEN 1 ELSE 0 END AS INT) AS retrain,
+         |  CAST($version AS BIGINT) AS version FROM $agg CROSS JOIN $rate"""
+        .stripMargin
+    s"""WITH shard AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 3
+       |  UNION ALL SELECT * FROM (VALUES $junk) AS j(doc_id, text)),
+       |grown AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $junk) AS g(doc_id, text)),
+       |${probeModelSql(d, "documents", "_a", withKeyword = false)},
+       |p_a AS (SELECT CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
+       |  FROM feats_a CROSS JOIN cut_a),
+       |rate_a AS (SELECT round(avg(pred), 6) AS train_keep_rate FROM p_a),
+       |sfeats AS (SELECT doc_id, ${P.x1(d)} AS x1, ${P.x2(d)} AS x2,
+       |  ${P.x3(d)} AS x3 FROM shard WHERE text IS NOT NULL),
+       |sp_a AS (SELECT CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
+       |  FROM sfeats CROSS JOIN cut_a),
+       |agg_a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(pred), 0) AS BIGINT) AS n_keep FROM sp_a),
+       |${probeModelSql(d, "grown", "_b", withKeyword = false)},
+       |p_b AS (SELECT CASE WHEN round($score, 6) >= cut THEN 1 ELSE 0 END AS pred
+       |  FROM feats_b CROSS JOIN cut_b),
+       |rate_b AS (SELECT round(avg(pred), 6) AS train_keep_rate FROM p_b),
+       |agg_b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(pred), 0) AS BIGINT) AS n_keep FROM p_b)
+       |${driftRow("before", "agg_a", "rate_a", 0)}
+       |UNION ALL
+       |${driftRow("after", "agg_b", "rate_b", 1)}
+       |ORDER BY phase""".stripMargin.replace("\n", " ")
+  }
+
   /** The d14 mixture arithmetic as shared expression strings: the SQL tier
     * (mixBody, both dialects) and the served operator form (`ops.Mix`,
     * Spark dialect) render from the SAME builders, so their outputs are
@@ -396,46 +459,53 @@ object TrainingQueries {
     val score: String = "b + w1*x1 + w2*x2 + w3*x3"
   }
 
-  private def probeBody(d: D): String = {
+  /** `src`/`sfx`/`withKeyword` exist for X46OracleDuck, which renders TWO
+    * suffixed chains (bootstrap + retrain) in one query — the defaults
+    * render t13's original text byte-identically. */
+  private def probeBody(d: D, src: String = "documents", sfx: String = "",
+                        withKeyword: Boolean = true): String = {
     val z = ProbeSql.score
     def gsum(mult: String) =
       s"sum(CAST(floor(($z - y)$mult * 1e9) AS BIGINT))"
     val iters = (0 until ProbeIters).map { k =>
-      s"""g$k AS (SELECT ${gsum("")} AS gb, ${gsum(" * x1")} AS g1,
+      s"""g$k$sfx AS (SELECT ${gsum("")} AS gb, ${gsum(" * x1")} AS g1,
          |  ${gsum(" * x2")} AS g2, ${gsum(" * x3")} AS g3,
          |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3,
-         |  max(n) AS n FROM feats CROSS JOIN w$k),
-         |w${k + 1} AS (SELECT b - 5e-1 * (gb / 1e9) / n AS b,
+         |  max(n) AS n FROM feats$sfx CROSS JOIN w$k$sfx),
+         |w${k + 1}$sfx AS (SELECT b - 5e-1 * (gb / 1e9) / n AS b,
          |  w1 - 5e-1 * (g1 / 1e9) / n AS w1,
          |  w2 - 5e-1 * (g2 / 1e9) / n AS w2,
-         |  w3 - 5e-1 * (g3 / 1e9) / n AS w3, n FROM g$k)""".stripMargin
+         |  w3 - 5e-1 * (g3 / 1e9) / n AS w3, n FROM g$k$sfx)""".stripMargin
     }.mkString(",\n")
     // the oracle pays 1 + iters regex-tokenization scans if feats inlines;
     // DuckDB's MATERIALIZED hint collapses that to one (Spark has no such
     // syntax and its per-iteration scan IS the honest distributed cost)
     val mat = if (d.isSpark) "" else "MATERIALIZED "
-    s"""WITH feats AS $mat(SELECT doc_id,
+    val lead = if (withKeyword) "WITH " else ""
+    s"""${lead}feats$sfx AS $mat(SELECT doc_id,
        |  ${ProbeSql.x1(d)} AS x1,
        |  ${ProbeSql.x2(d)} AS x2,
        |  ${ProbeSql.x3(d)} AS x3,
        |  ${ProbeSql.y(d)} AS y
-       |  FROM documents WHERE text IS NOT NULL),
-       |w0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3,
-       |  count(*) * 1e0 AS n FROM feats),
+       |  FROM $src WHERE text IS NOT NULL),
+       |w0$sfx AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3,
+       |  count(*) * 1e0 AS n FROM feats$sfx),
        |$iters""".stripMargin.replace("\n", " ")
   }
 
   /** probeBody + the margin-midpoint decision cut, the full trained model
     * in one frame: (cut, b, w1, w2, w3). The Spark render is what
     * `ops.Probe.train` executes to fit and persist the model. */
-  private[graft] def probeModelSql(d: D): String = {
+  private[graft] def probeModelSql(d: D, src: String = "documents",
+                                   sfx: String = "",
+                                   withKeyword: Boolean = true): String = {
     val score = ProbeSql.score
-    s"""${probeBody(d)},
-       |cut AS (SELECT
+    s"""${probeBody(d, src, sfx, withKeyword)},
+       |cut$sfx AS (SELECT
        |  coalesce((max(CASE WHEN y = 0e0 THEN round($score, 6) END)
        |    + min(CASE WHEN y = 1e0 THEN round($score, 6) END)) / 2e0, 5e-1) AS cut,
        |  max(b) AS b, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3
-       |  FROM feats CROSS JOIN w$ProbeIters)""".stripMargin
+       |  FROM feats$sfx CROSS JOIN w$ProbeIters$sfx)""".stripMargin
       .replace("\n", " ")
   }
 
