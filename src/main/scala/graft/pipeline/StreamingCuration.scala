@@ -25,8 +25,18 @@ import graft.ops.Ann.CellsMaintenance
   *    decisions against the exact pre-accept state, byte-identically;
   *  - all three accept appends are dynamic-partition epoch overwrites, so
   *    a replayed accept rewrites itself instead of double-counting.
-  * The probe and LM models are bootstrap-time state (they retrain on a
-  * schedule, not per shard) — a replayed batch reads them unchanged.
+  * The probe and LM models are bootstrap-time state: batches READ them
+  * (every open dereferences the versioned CURRENT pointer, see
+  * `graft.io.Models`) but never move them. Retrain is an out-of-band
+  * action with a QUIESCENCE contract, same discipline as compaction:
+  * republish (`Curation.retrainIfDrifted`) only while the stream is
+  * stopped with all batches committed. Structured Streaming replays only
+  * an uncommitted batch, so under the contract every replay re-reads the
+  * exact model its original attempt used — byte-identical. (A retrain
+  * wedged between a crash and its replay keeps the state CONSISTENT —
+  * the replay's epoch overwrites rewrite decisions and accepts wholesale
+  * under the new model — but the re-decided batch is no longer
+  * byte-identical to the crashed attempt, which never committed.)
   *
   * The corpus text table is what makes the loop self-contained: curation
   * needs candidate-id-selective text for jaccard verification, and the

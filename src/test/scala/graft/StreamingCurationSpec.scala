@@ -276,4 +276,87 @@ class StreamingCurationSpec extends AnyFunSuite {
       Seq(gtable, s"${gtable}_params", s"${gtable}_epochs"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("retrain at a quiescence point: committed outputs stay byte-identical, the next batch reads the refit model") {
+    val table = "mh_scur_retrain"
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ix = Curation.Indexes(minhashTable = table,
+      statsPath = tmp("rstats"), modelPath = tmp("rmodel"), lmPath = tmp("rlm"))
+    val corpusPath = tmp("rcorpus")
+    val inDir = tmp("rin"); val outDir = tmp("rout"); val ck = tmp("rck")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"), col("lang"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    StreamingCuration.bootstrap(corpus, ix, corpusPath)
+    val bench = Seq("unrelated benchmark snippet never matching anything")
+      .toDF("snippet")
+    val keepA = "Completely separate vocabulary appears within this " +
+      "lengthy paragraph. Rivers meander through quiet valleys while amber " +
+      "sunsets describe patient horizons. Gentle travelers navigate winding " +
+      "pathways beneath ancient cedar branches, collecting memorable stories " +
+      "during tranquil evenings beside glowing lanterns."
+    val keepB = "Another fully independent passage concerning harbors: " +
+      "lighthouses signal distant vessels while fishermen repair woven nets " +
+      "along weathered docks. Seasonal markets gather merchants, musicians, " +
+      "bakers offering warm loaves, plus carpenters displaying oak furniture " +
+      "crafted throughout winter months."
+    val junkText = ("xqzj wvkx qjzx vbdg kxqz jxqv zzqk xjvq qkzx vjxq " +
+      "zqxk jqvz ") * 4
+
+    // batch 0: one keep + one LM-rejected consonant salad -> the batch's
+    // drift row fires for 'en' (below_frac 0.5 > 0.1)
+    val s1 = Seq(
+      (950001L, keepA, "web", "en"),
+      (950002L, junkText, "web", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    s1.write.mode("append").parquet(inDir)
+    val q1 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q1.processAllAvailable() finally q1.stop()
+    // QUIESCENT: the stream is stopped and batch 0's offsets committed
+    val drift0 = spark.read.parquet(s"$outDir/batch=000000/drift")
+      .filter(col("lang") === "en").head()
+    assert(drift0.getAs[Boolean]("retrain"), drift0.toString)
+    val d0 = spark.read.parquet(s"$outDir/batch=000000/decisions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(graft.io.Models.current(ix.lmPath) == 0L)
+
+    // the out-of-band retrain the drift row calls for, under the object
+    // doc's quiescence contract: refit on the grown corpus, republish
+    val grown = StreamingCuration.openCorpus(spark, corpusPath).drop("epoch")
+    val report = Curation.retrainIfDrifted(spark, s1.toDF(), grown, ix)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(report("lm") == (true, 1L), report.toString)
+    assert(graft.io.Models.current(ix.lmPath) == 1L)
+    // the committed batch's artifacts are untouched by the republish
+    val d0r = spark.read.parquet(s"$outDir/batch=000000/decisions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(d0r == d0, "retrain touched a committed batch's decisions")
+
+    // batch 1 through a restart: the loop's drift row now equals a hand
+    // computation against the REFIT model — openModel dereferences the
+    // pointer at batch time, so the stream reads v1 without any plumbing
+    val s2 = Seq(
+      (960001L, keepB, "web", "en"),
+      (960002L, junkText.replace("xqzj", "qzxj"), "web", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    s2.write.mode("append").parquet(inDir)
+    val q2 = StreamingCuration.start(spark, inDir, ix, corpusPath, outDir,
+      ck, bench, "snippet")
+    try q2.processAllAvailable() finally q2.stop()
+    val streamDrift = spark.read.parquet(s"$outDir/batch=000001/drift")
+      .collect().map(_.toString).sorted.toSeq
+    val handDrift = graft.ops.Lm.driftStats(s2.toDF(),
+        graft.ops.Lm.openModel(spark, ix.lmPath))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamDrift == handDrift,
+      s"batch 1 did not score under the refit model:\n$streamDrift\n$handDrift")
+    // and ingestion itself never moved the pointer
+    assert(graft.io.Models.current(ix.lmPath) == 1L)
+    Seq(table, s"${table}_counts", s"${table}_params")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
