@@ -148,14 +148,23 @@ object StreamingCuration {
     // probes the gram index (the scrub), and acceptShard appends into
     // that same table — a lazy plan re-evaluated during the append job
     // would read the table it is writing (the self-read hazard)
-    // the per-language retrain alarm, computed on the shard the loop just
-    // saw: count ingestion never moves the LM cuts, so a distribution
-    // shift in the stream surfaces here first (Lm.driftStats; one
-    // shard-scale agg). Written per batch -> replay-idempotent.
+    // BOTH retrain alarms, computed on the shard the loop just saw and
+    // written per batch (replay-idempotent overwrites). LM: count
+    // ingestion never moves the bootstrap cuts, so a register shift /
+    // encoding regression surfaces as per-language below-cut fractions
+    // (Lm.driftStats). Probe: the shard keep rate diverging from the
+    // persisted training keep rate (Probe.driftStats, one row). Each is
+    // one narrow shard-scale pass against the broadcast served model;
+    // acting on a fired row is `Curation.retrainIfDrifted` at a
+    // quiescence point (see object doc).
     graft.ops.Lm.driftStats(shard,
         graft.ops.Lm.openModel(spark, ixs.lmPath))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/drift")
+    graft.ops.Probe.driftStats(shard,
+        graft.ops.Probe.openModel(spark, ixs.modelPath))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/probe_drift")
     val keepers = shard.join(
       written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
       .localCheckpoint()

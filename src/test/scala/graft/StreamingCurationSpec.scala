@@ -88,6 +88,9 @@ class StreamingCurationSpec extends AnyFunSuite {
     val drift0 = spark.read.parquet(s"$outDir/batch=000000/drift")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(drift0("en") >= 1L, drift0.toString)
+    // the probe's alarm row lands beside it: one row over the whole shard
+    val pdrift0 = spark.read.parquet(s"$outDir/batch=000000/probe_drift").head()
+    assert(pdrift0.getAs[Long]("n_docs") == 6L, pdrift0.toString)
 
     // the accept grew every serving table by exactly the keepers
     val nKeep0 = d0.values.count(_._1 == "keep")
