@@ -243,6 +243,18 @@ object Demo {
     println(f"[demo] probe drift: corpus keep ${pq.getDouble(2)}%.3f vs " +
       f"train ${pq.getDouble(3)}%.3f (quiet); junk flood keep " +
       f"${pa.getDouble(2)}%.3f -> retrain=${pa.getBoolean(5)}")
+    // the alarm's ACTION (x46's loop): refit the GD chain on the grown
+    // corpus, republish through the versioned pointer, and read the
+    // representative stream quiet under the refit training rate
+    val pGrown = pmDocs.select($"doc_id".cast("long").as("doc_id"), $"text")
+      .unionByName(junkFlood)
+    val pV = ops.Probe.retrainModel(pGrown, pmPath)
+    val pAfter = ops.Probe
+      .driftStats(pGrown, ops.Probe.openModel(spark, pmPath)).head()
+    println(f"[demo] probe retrain: republished v$pV " +
+      f"(${io.Models.currentDir(pmPath)}), grown stream keep " +
+      f"${pAfter.getDouble(2)}%.3f vs refit train " +
+      f"${pAfter.getDouble(3)}%.3f -> retrain_fired=${pAfter.getBoolean(5)}")
     // the whole curation loop: every serving structure composed
     val cur = SparkEntry.queries("x38_curation_e2e")(spark, sfDir)
       .groupBy("decision").agg(
