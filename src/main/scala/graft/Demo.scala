@@ -236,7 +236,9 @@ object Demo {
     val pmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
     ops.Probe.writeModel(pmDocs, pmPath)
     val pm = ops.Probe.openModel(spark, pmPath)
-    val junkFlood = spark.range(1, 41)
+    // ids disjoint from the corpus doc_id space — the grown corpus below
+    // must respect the pipeline's doc-id uniqueness contract
+    val junkFlood = spark.range(920001, 920041)
       .selectExpr("id AS doc_id", "'tiny junk' AS text")
     val pq = ops.Probe.driftStats(pmDocs, pm).head()
     val pa = ops.Probe.driftStats(junkFlood, pm).head()

@@ -120,6 +120,15 @@ object StreamingCuration {
                   benchTextCol: String, maxBucket: Int = 1000): Unit = {
     val spark = batch.sparkSession
     val epoch = batchId + 1L
+    // pin the model versions the batch computes under: every consumer
+    // below dereferences the CURRENT pointer independently, so a retrain
+    // published MID-batch (a quiescence-contract violation, see object
+    // doc) would yield decisions under v(n) but drift rows under v(n+1)
+    // — an internally inconsistent batch. The end-of-batch check makes
+    // that LOUD instead: the batch fails uncommitted, and its replay
+    // recomputes everything consistently under the new version.
+    val probeV0 = graft.io.Models.current(ixs.modelPath)
+    val lmV0 = graft.io.Models.current(ixs.lmPath)
     val corpus = openCorpus(spark, corpusPath, excludeEpoch = Some(epoch))
       .drop("epoch")
     val dropped = spark.sparkContext.longAccumulator(
@@ -127,9 +136,13 @@ object StreamingCuration {
     // the pre-decision scrub (no-op without a gram index in the state):
     // corpus boilerplate is cut from the shard FIRST, so dedup, quality,
     // and mix all act on content — and the accepted keepers fold their
-    // scrubbed text into every serving table below
+    // scrubbed text into every serving table below. Materialized ONCE:
+    // the scrubbed plan embeds the gram-index probe and per-doc text
+    // rebuild, and four consumers read it (decisions, both drift rows,
+    // the keepers join) — without the checkpoint each would re-probe the
+    // index
     val shard = Curation.scrubShard(spark, batch, ixs,
-      excludeEpoch = Some(epoch))
+      excludeEpoch = Some(epoch)).localCheckpoint()
     val decisions = Curation.curateShard(spark, shard, corpus, ixs,
       bench, benchTextCol, maxBucket = maxBucket,
       excludeEpoch = Some(epoch), droppedRows = Some(dropped))
@@ -144,10 +157,6 @@ object StreamingCuration {
       .agg(count("*").as("n_docs"), sum("n_copies").as("n_copies"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/funnel")
-    // materialize the keepers BEFORE the accept appends: their plan
-    // probes the gram index (the scrub), and acceptShard appends into
-    // that same table — a lazy plan re-evaluated during the append job
-    // would read the table it is writing (the self-read hazard)
     // BOTH retrain alarms, computed on the shard the loop just saw and
     // written per batch (replay-idempotent overwrites). LM: count
     // ingestion never moves the bootstrap cuts, so a register shift /
@@ -165,6 +174,10 @@ object StreamingCuration {
         graft.ops.Probe.openModel(spark, ixs.modelPath))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/probe_drift")
+    // keepers materialized too: three accept appends re-read them, and a
+    // lazy plan re-evaluated during an append job must never read a
+    // serving table it is writing (the self-read hazard — the shard
+    // checkpoint above already cut the gram-index probe out of this plan)
     val keepers = shard.join(
       written.filter(col("decision") === "keep").select("doc_id"), "doc_id")
       .localCheckpoint()
@@ -181,6 +194,16 @@ object StreamingCuration {
         "dropped_candidate_rows")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    // the quiescence interlock (versions are monotonic, so start==end
+    // means no publish landed while any of the batch's jobs ran)
+    val probeV1 = graft.io.Models.current(ixs.modelPath)
+    val lmV1 = graft.io.Models.current(ixs.lmPath)
+    require(probeV1 == probeV0 && lmV1 == lmV0,
+      s"model version moved during batch $batchId (probe $probeV0 -> " +
+        s"$probeV1, lm $lmV0 -> $lmV1): retrain published against a LIVE " +
+        "stream violates the quiescence contract — the batch fails " +
+        "uncommitted; its replay recomputes consistently under the new " +
+        "version")
   }
 
   /** Start the loop over a parquet file source of shards. Restarting with

@@ -88,9 +88,16 @@ class StreamingCurationSpec extends AnyFunSuite {
     val drift0 = spark.read.parquet(s"$outDir/batch=000000/drift")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(drift0("en") >= 1L, drift0.toString)
-    // the probe's alarm row lands beside it: one row over the whole shard
+    // the probe's alarm row lands beside it — and equals a hand
+    // computation against the served model (same parity bar as the LM
+    // row in the quiescence test: the cloned foreachBatch session must
+    // have read the same pointer)
     val pdrift0 = spark.read.parquet(s"$outDir/batch=000000/probe_drift").head()
     assert(pdrift0.getAs[Long]("n_docs") == 6L, pdrift0.toString)
+    val pdriftHand = graft.ops.Probe.driftStats(s1.toDF(),
+      graft.ops.Probe.openModel(spark, ix.modelPath)).head()
+    assert(pdrift0.toString == pdriftHand.toString,
+      s"stream probe drift != hand computation:\n$pdrift0\n$pdriftHand")
 
     // the accept grew every serving table by exactly the keepers
     val nKeep0 = d0.values.count(_._1 == "keep")
@@ -357,6 +364,15 @@ class StreamingCurationSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamDrift == handDrift,
       s"batch 1 did not score under the refit model:\n$streamDrift\n$handDrift")
+    // same parity for the probe's drift row (its model may or may not
+    // have refit — whichever version CURRENT names, stream and hand
+    // computation must read the same one)
+    val streamPDrift = spark.read
+      .parquet(s"$outDir/batch=000001/probe_drift").head()
+    val handPDrift = graft.ops.Probe.driftStats(s2.toDF(),
+      graft.ops.Probe.openModel(spark, ix.modelPath)).head()
+    assert(streamPDrift.toString == handPDrift.toString,
+      s"stream probe drift != hand computation:\n$streamPDrift\n$handPDrift")
     // and ingestion itself never moved the pointer
     assert(graft.io.Models.current(ix.lmPath) == 1L)
     Seq(table, s"${table}_counts", s"${table}_params")
