@@ -402,8 +402,12 @@ object SparkEntry {
     }),
     "x12_media_frames" -> ((s: SparkSession, dir: String) => {
       // multimodal frame sampling over REAL decoded payloads — one row
-      // per sampled frame per media item
-      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir), ops.Media.ImageIoCodec)
+      // per sampled frame per media item. withMeta = false: frameSample
+      // reads only the payload, so the header decode would be a second
+      // full container parse per item thrown away (r7 optimization; the
+      // output columns never included the header fields)
+      val media = ops.Media.mediaTable(gen.Corpus.corpus(s, dir),
+        ops.Media.ImageIoCodec, withMeta = false)
       ops.Media.frameSample(media, 4, ops.Media.ImageIoCodec)
         .orderBy("doc_id", "media_ref", "frame_idx")
     }),

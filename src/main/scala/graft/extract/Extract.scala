@@ -48,6 +48,11 @@ object Extract {
     sb.result()
   }
 
+  // precompiled: String.replaceAll would recompile both patterns per html
+  // span — this sits inside the per-doc extraction hot path
+  private val TagP = java.util.regex.Pattern.compile("<[^>]+>")
+  private val WsP = java.util.regex.Pattern.compile("\\s+")
+
   /** P26 — boilerplate strip over html spans: keep spans whose text density
     * and link density pass the thresholds, rewriting them as paragraph
     * spans of their tag-stripped text. Non-html spans pass through. */
@@ -56,7 +61,8 @@ object Extract {
     spans.flatMap { s =>
       if (s.kind != "html") Some(s)
       else if (Rules.isContentHtml(s.text, tauText, tauLink)) {
-        val stripped = s.text.replaceAll("<[^>]+>", " ").replaceAll("\\s+", " ").trim
+        val stripped =
+          WsP.matcher(TagP.matcher(s.text).replaceAll(" ")).replaceAll(" ").trim
         Some(Span("paragraph", stripped, s.media_ref, s.offset))
       } else None
     }

@@ -1,7 +1,7 @@
 package graft.extract
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, collect_list, struct}
 
 /** Marker-style 2-D layout parse (SRC1/SRC2 semantics, north rule: "block
   * segmentation, reading-order sort, table/figure detection").
@@ -237,16 +237,24 @@ object Layout {
   def extractFromLines(lines: DataFrame): Dataset[graft.model.ContractRow] = {
     val spark: SparkSession = lines.sparkSession
     import spark.implicits._
+    // collect_list hash-agg instead of groupByKey/mapGroups (r7): the
+    // upstream line derivation is already hash-partitioned on doc (its
+    // row_number window), and a hash aggregate rides that partitioning —
+    // where MapGroups forced a second exchange PLUS a per-partition sort
+    // on the appended typed key. Pages are physically bounded (the same
+    // per-group-buffer assumption mapGroups made); the fold itself is
+    // order-independent (every layout rule sorts internally).
     lines
-      .select(col("doc").cast("long"), col("line_id").cast("long"),
-        col("x0").cast("int"), col("y0").cast("int"),
-        col("x1").cast("int"), col("y1").cast("int"), col("text").cast("string"))
-      .as[(Long, Long, Int, Int, Int, Int, String)]
-      .groupByKey(_._1)
-      .mapGroups { (doc, it) =>
-        val rows = it.toSeq
-        val boxes = rows.map(r => Box(r._2, r._3, r._4, r._5, r._6))
-        val texts = rows.iterator.map(r => r._2 -> Option(r._7).getOrElse("")).toMap
+      .select(col("doc").cast("long").as("doc"),
+        struct(col("line_id").cast("long").as("line_id"),
+          col("x0").cast("int").as("x0"), col("y0").cast("int").as("y0"),
+          col("x1").cast("int").as("x1"), col("y1").cast("int").as("y1"),
+          col("text").cast("string").as("text")).as("b"))
+      .groupBy("doc").agg(collect_list(col("b")).as("bs"))
+      .as[(Long, Seq[(Long, Int, Int, Int, Int, String)])]
+      .map { case (doc, rows) =>
+        val boxes = rows.map(r => Box(r._1, r._2, r._3, r._4, r._5))
+        val texts = rows.iterator.map(r => r._1 -> Option(r._6).getOrElse("")).toMap
         Extract.parseBlocks(s"doc-$doc", spansOf(doc.toString, boxes, texts))
       }
   }
@@ -258,14 +266,20 @@ object Layout {
   def layoutBlocks(lines: DataFrame): DataFrame = {
     val spark: SparkSession = lines.sparkSession
     import spark.implicits._
+    // collect_list hash-agg instead of groupByKey/flatMapGroups (r7) —
+    // same exchange/sort elimination as extractFromLines above: the line
+    // derivation is already partitioned on doc, so the aggregate adds NO
+    // exchange and no sort (plan: 2 Exchange + 2 Sort -> 1 Exchange +
+    // 1 Sort, the window's own).
     lines
-      .select(col("doc").cast("long"), col("line_id").cast("long"),
-        col("x0").cast("int"), col("y0").cast("int"),
-        col("x1").cast("int"), col("y1").cast("int"))
-      .as[(Long, Long, Int, Int, Int, Int)]
-      .groupByKey(_._1)
-      .flatMapGroups { (doc, it) =>
-        val boxes = it.map(r => Box(r._2, r._3, r._4, r._5, r._6)).toSeq
+      .select(col("doc").cast("long").as("doc"),
+        struct(col("line_id").cast("long").as("line_id"),
+          col("x0").cast("int").as("x0"), col("y0").cast("int").as("y0"),
+          col("x1").cast("int").as("x1"), col("y1").cast("int").as("y1")).as("b"))
+      .groupBy("doc").agg(collect_list(col("b")).as("bs"))
+      .as[(Long, Seq[(Long, Int, Int, Int, Int)])]
+      .flatMap { case (doc, rows) =>
+        val boxes = rows.map(r => Box(r._1, r._2, r._3, r._4, r._5))
         segments(boxes).map { b =>
           (doc, b.block_id, b.kind,
             if (b.kind == "figure") s"img_${doc}_${b.block_id}" else "",

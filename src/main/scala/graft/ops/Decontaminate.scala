@@ -48,15 +48,24 @@ object Decontaminate {
     docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
       .select(col("id"), explode(gramsFromWords(col("w"), n)).as("gh"))
 
-  /** Distinct (id, gram-hash) pairs for a document set. */
+  /** Distinct (id, gram-hash) pairs for a document set. Ids are unique per
+    * document (every caller's contract), so duplicate (id, gh) pairs can
+    * only arise WITHIN one row — a per-row `array_distinct` before the
+    * explode yields exactly the distinct pairs with NO exchange, where the
+    * r6 form shuffled every gram row through a global `distinct()` (guide
+    * §2.4: a distinct on data that is already unique across rows). */
   private def gramTable(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
-    gramRows(docs, idCol, textCol, n).distinct()
+    docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("w"))
+      .select(col("id"),
+        explode(array_distinct(gramsFromWords(col("w"), n))).as("gh"))
 
-  /** Distinct bench-side gram hashes. */
+  /** Distinct bench-side gram hashes. The per-row array_distinct removes
+    * within-doc repeats before the explode, so the global distinct's
+    * exchange carries only cross-doc survivors (r7, guide §2.3). */
   private def benchGramSet(bench: DataFrame, benchTextCol: String, n: Int): DataFrame =
     bench.select(wordsOf(col(benchTextCol)).as("w"))
-      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .select(explode(array_distinct(gramsFromWords(col("w"), n))).as("gh"))
       .distinct()
 
   /** Corpus documents contaminated by the bench set: one row per flagged
@@ -101,11 +110,11 @@ object Decontaminate {
     val bloom = bg.stat.bloomFilter("gh", expected, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
-    // the filter sits on the RAW gram rows, below the distinct's
-    // exchange — pruning before any shuffle is the entire point
-    gramRows(corpus, idCol, textCol, n)
+    // the filter sits on the per-row-distinct gram pairs (gramTable is
+    // exchange-free since r7), still below any shuffle — pruning before
+    // the join is the entire point
+    gramTable(corpus, idCol, textCol, n)
       .filter(mightContain(col("gh")))
-      .distinct()
       .join(bg, "gh")
       .groupBy(col("id").as(idCol))
       .agg(count("*").cast("int").as("n_hits"))
@@ -180,7 +189,12 @@ object Decontaminate {
     val tok = w.select(col("id"), posexplode(col("w")).as(Seq("pos", "word")))
     val grams = w.select(col("id"),
       posexplode(gramsFromWords(col("w"), n)).as(Seq("pos", "gh")))
-    val shared = grams.select("id", "gh").distinct()
+    // per-doc-distinct pairs come from a per-row array_distinct (ids are
+    // unique per doc), not a global distinct() — the r6 form shuffled
+    // every positional gram row just to dedup within-doc repeats (r7,
+    // guide §2.4); the groupBy(gh) below is the only exchange left here
+    val shared = w.select(col("id"),
+        explode(array_distinct(gramsFromWords(col("w"), n))).as("gh"))
       .groupBy("gh").agg(min("id").as("keeper"), count("*").as("nd"))
       .filter(col("nd") >= 2).select("gh", "keeper")
     // each (id, pos) carries exactly one gram, so this join cannot fan out
@@ -256,7 +270,7 @@ object Decontaminate {
     // would resurrect a dead stage over the fresh tables
     java.nio.file.Files.deleteIfExists(gramCompactMarker(spark, table))
     docs.select(wordsOf(col(textCol)).as("w"))
-      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .select(explode(array_distinct(gramsFromWords(col("w"), n))).as("gh"))
       .distinct()
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").bucketBy(nBuckets, "gh").sortBy("gh")
@@ -293,7 +307,7 @@ object Decontaminate {
     val p = spark.table(s"${table}_params").head()
     val (n, nBuckets) = (p.getInt(0), p.getInt(1))
     shard.select(wordsOf(col(textCol)).as("w"))
-      .select(explode(gramsFromWords(col("w"), n)).as("gh"))
+      .select(explode(array_distinct(gramsFromWords(col("w"), n))).as("gh"))
       .distinct()
       .withColumn("epoch", lit(epoch))
       .write.mode("append").bucketBy(nBuckets, "gh").sortBy("gh")

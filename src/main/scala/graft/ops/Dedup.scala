@@ -391,11 +391,22 @@ object Dedup {
     newVsCorpus.union(newVsNew).distinct()
   }
 
-  /** Exact n-gram Jaccard on candidate pairs (the verify stage after LSH). */
+  /** Exact n-gram Jaccard on candidate pairs (the verify stage after LSH).
+    * r7 shape: the word table is restricted to candidate-touched ids by a
+    * broadcast semi-join BEFORE the regex/word pass runs (id-selective —
+    * candidates are rare by construction, so this skips the word pass for
+    * almost every doc), then lazily checkpointed because it feeds BOTH
+    * join sides and Spark shares no subtrees — without the cut the pass
+    * ran twice. The pinned blocks hold words for candidate ids only. */
   def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
                           idCol: String, textCol: String,
                           threshold: Double): DataFrame = {
-    val w = docs.select(col(idCol).as("id"), wordsOf(col(textCol)).as("ws"))
+    val candIds = candidates.select(col("doc_a").as("id"))
+      .union(candidates.select(col("doc_b").as("id"))).distinct()
+    val w = docs
+      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), wordsOf(col(textCol)).as("ws"))
+      .localCheckpoint(false)
     candidates
       .join(w.withColumnRenamed("id", "doc_a").withColumnRenamed("ws", "wa"), "doc_a")
       .join(w.withColumnRenamed("id", "doc_b").withColumnRenamed("ws", "wb"), "doc_b")
@@ -459,7 +470,13 @@ object Dedup {
     def cut(df: DataFrame): DataFrame = checkpointDir match {
       case Some(dir) =>
         val out = reliableCut(df, dir, cutRound); cutRound += 1; out
-      case None => df.localCheckpoint(true)
+      // LAZY localCheckpoint: the plan is truncated either way (the
+      // returned frame scans the checkpoint RDD), but materialization
+      // folds into the signature aggregate that follows — one job per
+      // round instead of an eager-checkpoint job PLUS the signature job
+      // (r7; the per-round fixed cost dominates at bench scale where
+      // edge sets are tiny)
+      case None => df.localCheckpoint(false)
     }
     val canonical = edges0
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
@@ -501,9 +518,10 @@ object Dedup {
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
-      // eager lineage cut: localCheckpoint blocks are reclaimed by
-      // ContextCleaner; the reliable parquet form deletes superseded
-      // rounds itself (see reliableCut above)
+      // lineage cut (lazy — the signature aggregate right below is the
+      // action that materializes it): localCheckpoint blocks are
+      // reclaimed by ContextCleaner; the reliable parquet form deletes
+      // superseded rounds itself (see reliableCut above)
       val cutNext = cut(next)
       val nextSig = signature(cutNext)
       edges = cutNext

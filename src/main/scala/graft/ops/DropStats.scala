@@ -59,30 +59,34 @@ object DropStats {
     // shingles, minhashes, hyperplane dots) is the expensive part, and
     // this operator references it twice (over-cap aggregate + the kept
     // rows); the caller's self-join references the result twice more.
-    // Spark only dedups common subtrees at EXCHANGE boundaries
-    // (ReusedExchange / AQE stage reuse), and only when the subtrees are
-    // canonically identical — so the shape below is engineered to give
-    // every consumer the SAME exchange:
-    //  - an explicit repartition on the bucket key puts one shuffle
-    //    directly above the signature computation;
-    //  - the cap is a LEFT join + IS NULL filter, not a left_anti:
-    //    PushDownLeftSemiAntiJoin pushes an anti-join below the
-    //    repartition, which re-splits the subtree (measured 0.78 s ->
-    //    1.32 s on the minhash bench from re-evaluated signatures);
-    //  - the over-cap aggregate carries a `_reuse_pin` xxhash64 over ALL
-    //    input columns so column pruning cannot specialize its branch's
-    //    exchange child away from the probe branch's;
+    // Spark does not share common subtrees — only canonically-identical
+    // exchanges reuse, and the r5 reuse engineering (`_reuse_pin`, an
+    // unused xxhash64 aggregate meant to stop column pruning from
+    // specializing the over-cap branch) no longer survives Spark 4.1's
+    // optimizer: the pin is pruned, the branch's scan narrows to the
+    // bucket-key columns, the exchanges stop being identical, and the
+    // signature pass runs FOUR times (measured: 4 scans, 0 reuse markers
+    // in the executed plan). r7 replaces optimizer-shape coaxing with an
+    // explicit lineage cut:
+    //  - repartition on the bucket key, then LAZY localCheckpoint: the
+    //    signature pass + its one exchange materialize exactly once, on
+    //    the first consumer's action;
+    //  - Dataset.localCheckpoint preserves outputPartitioning, so the
+    //    over-cap aggregate, the kept-rows probe, and both sides of the
+    //    caller's self-join all read the checkpointed blocks with NO
+    //    further exchange — the rows are 3-4 longs each (keys + id), so
+    //    the pinned blocks are a tiny fraction of the corpus text;
+    //  - the cap stays a LEFT join + IS NULL filter (left_anti would be
+    //    pushed below the repartition and re-split the subtree);
     //  - the over-cap key list is broadcast: it holds at most one key
     //    per maxBucket over-cap rows (degenerate buckets are rare by
     //    nature), and a non-broadcast plan would sort-merge — the exact
     //    sort this operator exists to avoid.
-    // Net plan: ONE signature pass, ONE exchange (reused by the over-cap
-    // agg, the kept-rows probe, and both self-join sides), hash
-    // aggregates only, no Sort anywhere (plan-guarded in PlanShapeSpec).
-    val keyed = df.repartition(keys.map(col): _*)
+    // Net plan: ONE signature pass, ONE exchange, hash aggregates only,
+    // no Sort anywhere (plan-guarded in PlanShapeSpec).
+    val keyed = df.repartition(keys.map(col): _*).localCheckpoint(false)
     val overCap = keyed.groupBy(keys.map(col): _*)
-      .agg(count("*").as("bucket_n"),
-        bit_xor(xxhash64(df.columns.map(col): _*)).as("_reuse_pin"))
+      .agg(count("*").as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
     // one eager job serves both the exact drop count and the
     // broadcast-safety decision; without `acc` no extra job runs and the

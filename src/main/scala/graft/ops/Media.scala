@@ -20,6 +20,12 @@ import graft.model.{Doc, Span}
   * OpsSpec proves the stages are codec-agnostic. */
 object Media {
 
+  // See ImageIoCodec: ImageIO's default disk-backed stream cache costs a
+  // temp-file create/fill/delete per encode or decode. Set here too so
+  // paths that use ImageIO without the codec seam (withResized's lambda)
+  // run memory-backed on every executor that loads this module.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The decode seam. Implementations must be Serializable (shipped to
     * executors) and thread-safe per partition. */
   trait Codec extends Serializable {
@@ -87,6 +93,16 @@ object Media {
     * speed-insensitive plumbing tests. */
   object ImageIoCodec extends Codec {
 
+    // ImageIO's stream cache is DISK-backed by default: every
+    // createImageInputStream / ImageIO.read / ImageIO.write otherwise
+    // creates, fills and deletes a temp FILE per call — tens of thousands
+    // of filesystem ops per pass whose cost tracks tmpfs state, not CPU
+    // (guide §1: measured 3.5-12.9 s for x12 vs ~1.5 s clean in r4/r5).
+    // Memory-backed cache streams decode/encode the same bytes — output
+    // is bit-identical. JVM-global, applied when the codec object
+    // initializes on each executor (first use).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic "video-kind" rule for SYNTHESIZED corpus refs: jpg
       * refs whose seed hash lands in the low quarter become multi-frame
       * GIFs (2-5 frames). Explicit .png/.gif extensions are honored. */
@@ -101,12 +117,19 @@ object Media {
     private def frameImage(h: Long, frame: Int, w: Int, ht: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // fill the INT_RGB backing raster directly: same 24-bit values
+      // setRGB would store (they are pre-masked), without a per-pixel
+      // ColorModel dispatch + sync — the synth is the x12/x08 hot path
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      val base = h + frame.toLong * 7919L * w * ht
       var y = 0
       while (y < ht) {
+        val rowBase = base + y.toLong * w
+        val off = y * w
         var x = 0
         while (x < w) {
-          img.setRGB(x, y,
-            (graft.gen.Corpus.mix(h + frame.toLong * 7919L * w * ht + y.toLong * w + x) & 0xFFFFFF).toInt)
+          px(off + x) = (graft.gen.Corpus.mix(rowBase + x) & 0xFFFFFF).toInt
           x += 1
         }
         y += 1
@@ -157,6 +180,9 @@ object Media {
       val out = new Array[Float](dim)
       val w = img.getWidth
       val h = img.getHeight
+      // one bulk getRGB (same per-pixel conversion contract as the
+      // per-call form, minus the per-pixel dispatch) feeds every stripe
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var c = 0
       while (c < stripes) {
         val x0 = w * c / stripes
@@ -166,7 +192,7 @@ object Media {
         while (x < x1 && x < w) {
           var y = 0
           while (y < h) {
-            val p = img.getRGB(x, y)
+            val p = px(y * w + x)
             rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
             n += 1; y += 1
           }
@@ -344,8 +370,15 @@ object Media {
 
   /** Media table from the corpus: one row per media span, binary payload +
     * decoded metadata. Narrow flatMap — scales with partitions; per-row
-    * soft-fail like the text path. */
-  def mediaTable(docs: Dataset[Doc], codec: Codec = FakeCodec): Dataset[MediaRow] = {
+    * soft-fail like the text path.
+    *
+    * `withMeta = false` skips the container-header decode and leaves
+    * (width, height, format) as (0, 0, "") — for consumers that only read
+    * the payload (frameSample), where the header parse is a second full
+    * reader pass per item that column pruning cannot remove from a typed
+    * flatMap (guide §2.3: don't compute what you throw away). */
+  def mediaTable(docs: Dataset[Doc], codec: Codec = FakeCodec,
+                 withMeta: Boolean = true): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap { d =>
@@ -353,8 +386,10 @@ object Media {
         .filter(s => s.kind == "media" && s.media_ref != null && s.media_ref.nonEmpty)
         .map { s =>
           val bytes = codec.fetchBytes(s.media_ref)
-          val (w, h, f) = codec.decode(bytes)
-          MediaRow(d.doc_id, s.media_ref, bytes, w, h, f)
+          if (withMeta) {
+            val (w, h, f) = codec.decode(bytes)
+            MediaRow(d.doc_id, s.media_ref, bytes, w, h, f)
+          } else MediaRow(d.doc_id, s.media_ref, bytes, 0, 0, "")
         }
     }
   }

@@ -136,13 +136,18 @@ object StreamingCuration {
     // the pre-decision scrub (no-op without a gram index in the state):
     // corpus boilerplate is cut from the shard FIRST, so dedup, quality,
     // and mix all act on content — and the accepted keepers fold their
-    // scrubbed text into every serving table below. Materialized ONCE:
-    // the scrubbed plan embeds the gram-index probe and per-doc text
-    // rebuild, and four consumers read it (decisions, both drift rows,
-    // the keepers join) — without the checkpoint each would re-probe the
-    // index
-    val shard = Curation.scrubShard(spark, batch, ixs,
-      excludeEpoch = Some(epoch)).localCheckpoint()
+    // scrubbed text into every serving table below. Materialized ONCE
+    // when the scrub is LIVE: the scrubbed plan embeds the gram-index
+    // probe and per-doc text rebuild, and four consumers read it
+    // (decisions, both drift rows, the keepers join) — without the
+    // checkpoint each would re-probe the index. Without a gram index the
+    // scrub is a pass-through, and paying a full shard materialization
+    // for it would be pure overhead (r7; the keepers checkpoint below
+    // still covers the self-read hazard).
+    val scrubbed = Curation.scrubShard(spark, batch, ixs,
+      excludeEpoch = Some(epoch))
+    val shard =
+      if (ixs.gramTable.isDefined) scrubbed.localCheckpoint() else scrubbed
     val decisions = Curation.curateShard(spark, shard, corpus, ixs,
       bench, benchTextCol, maxBucket = maxBucket,
       excludeEpoch = Some(epoch), droppedRows = Some(dropped))

@@ -27,18 +27,21 @@ object RelationalQueries {
 
     // J2 — spatial theta-join + per-line argmax (bbox intersection,
     // table_processor_fixed.py:237-294, reduced to 1-D intervals).
-    // Spark side: cells derive from `orders` (already distinct — no extra
-    // shuffle) and the per-line argmax is an INTEGER-ENCODED max —
-    // m = inter * 4 + (3 - cell_id) packs (inter desc, cell_id asc) into
-    // one int whose max is the lexicographic winner. Unlike max(struct),
-    // an integer max is HASH-aggregable (partial+final HashAggregate, no
-    // per-partition sort) — plan-guarded. The line-cell join is
-    // DELIBERATELY a shuffle join on orderkey, not a broadcast: cells
-    // scale with the corpus (pages per document), so at 10^12 docs only
-    // key co-partitioning survives; the orderkey hash partitioning also
-    // satisfies the (orderkey, linenumber) grouping, so the agg adds no
-    // exchange. Oracle keeps the row_number form; identical output incl.
-    // the cell_id-asc tiebreak.
+    // Spark side (r7 shape): the four cells of an order are a PURE
+    // FUNCTION of j — their geometry (cx0 = j*25, cx1 = j*25+25) never
+    // reads `orders` — so the line-cell join reduces to (a) a LEFT SEMI
+    // join on orderkey for the existence filter the inner join implied,
+    // and (b) a per-row greatest() over the four j terms in place of the
+    // 4x cells explode + join (guide §3.3: join first on the un-exploded
+    // key, explode after — here the explode disappears entirely). Each
+    // term packs (inter, cell) as m_j = inter_j * 4 + (3 - j), the same
+    // integer argmax encoding as before; max over join rows == max over
+    // lines of greatest over j, so the GROUP BY (which still merges
+    // duplicate (orderkey, linenumber) line rows) is unchanged. Plan:
+    // 2 exchanges + a 2.4M-row join intermediate -> 1 exchange (the
+    // partial+final agg), semi-join keys only — at any scale the semi
+    // join moves orderkeys, never cell rows. Oracle keeps the row_number
+    // form; identical output incl. the cell_id-asc tiebreak.
     "j02_spatial_argmax" -> q { d =>
       if (d.isSpark)
         """WITH lines AS (
@@ -46,14 +49,14 @@ object RelationalQueries {
           |         CAST(l_partkey % 80 AS INT) AS x0,
           |         CAST(l_partkey % 80 + l_suppkey % 20 + 5 AS INT) AS x1
           |  FROM lineitem),
-          |cells AS (
-          |  SELECT o_orderkey AS c_orderkey, j AS cell_id,
-          |         j * 25 AS cx0, j * 25 + 25 AS cx1
-          |  FROM orders, (VALUES (0), (1), (2), (3)) AS cj(j)),
           |best AS (
           |  SELECT l.l_orderkey, l.l_linenumber,
-          |         max(greatest(0, least(l.x1, c.cx1) - greatest(l.x0, c.cx0)) * 4 + 3 - c.cell_id) AS m
-          |  FROM lines l JOIN cells c ON l.l_orderkey = c.c_orderkey
+          |         max(greatest(
+          |           greatest(0, least(l.x1, 25) - greatest(l.x0, 0)) * 4 + 3,
+          |           greatest(0, least(l.x1, 50) - greatest(l.x0, 25)) * 4 + 2,
+          |           greatest(0, least(l.x1, 75) - greatest(l.x0, 50)) * 4 + 1,
+          |           greatest(0, least(l.x1, 100) - greatest(l.x0, 75)) * 4)) AS m
+          |  FROM lines l LEFT SEMI JOIN orders o ON l.l_orderkey = o.o_orderkey
           |  GROUP BY l.l_orderkey, l.l_linenumber)
           |SELECT l_orderkey, l_linenumber, CAST(3 - m % 4 AS INT) AS cell_id,
           |       CAST(m DIV 4 AS INT) AS inter

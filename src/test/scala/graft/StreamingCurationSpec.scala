@@ -91,7 +91,12 @@ class StreamingCurationSpec extends AnyFunSuite {
     // the probe's alarm row lands beside it — and equals a hand
     // computation against the served model (same parity bar as the LM
     // row in the quiescence test: the cloned foreachBatch session must
-    // have read the same pointer)
+    // have read the same pointer). NOTE: the hand rows run on the RAW
+    // batch (s1) while the stream computes on the scrubbed shard — equal
+    // only because this fixture configures NO gramTable, so scrubShard
+    // is a pass-through; a gram index here would make this compare a
+    // different invariant (compute the hand rows from Curation.scrubShard
+    // if that ever changes).
     val pdrift0 = spark.read.parquet(s"$outDir/batch=000000/probe_drift").head()
     assert(pdrift0.getAs[Long]("n_docs") == 6L, pdrift0.toString)
     val pdriftHand = graft.ops.Probe.driftStats(s1.toDF(),
