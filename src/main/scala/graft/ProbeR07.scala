@@ -37,6 +37,54 @@ object ProbeR07 {
       time("minhash_lsh_pairs warm2")(df2.count())
     }
 
+    if (which == "audiolock") {
+      // does the audio path scale with threads? If the 32-thread wall
+      // matches the 1-thread wall, a JVM-global lock (AudioSystem's
+      // provider registry) is serializing the executors.
+      val refs = (0 until 4000).map(i => s"corpus://audio/doc-$i-0.wav")
+      def oneThread(): Double = {
+        val t0 = System.nanoTime()
+        refs.foreach { r =>
+          val b = ops.Media.WavCodec.fetchBytes(r)
+          ops.Media.WavCodec.decode(b)
+          ops.Media.WavCodec.features(b, 4)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] audio 4000 clips, 1 thread: ${oneThread()}%.3f s")
+      val t0 = System.nanoTime()
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          refs.slice(t * 500, (t + 1) * 500).foreach { r =>
+            val b = ops.Media.WavCodec.fetchBytes(r)
+            ops.Media.WavCodec.decode(b)
+            ops.Media.WavCodec.features(b, 4)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      println(f"[probe] audio 4000 clips, 8 threads: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
+      // per-stage bisect: which stage stops scaling?
+      val bytes = refs.map(ops.Media.WavCodec.fetchBytes)
+      def stage(name: String)(f: Int => Unit): Unit = {
+        val s0 = System.nanoTime()
+        (0 until 4000).foreach(f)
+        val one = (System.nanoTime() - s0) / 1e9
+        val s1 = System.nanoTime()
+        val ths = (0 until 8).map { t =>
+          new Thread(() => (t * 500 until (t + 1) * 500).foreach(f))
+        }
+        ths.foreach(_.start()); ths.foreach(_.join())
+        val eight = (System.nanoTime() - s1) / 1e9
+        println(f"[probe] stage $name: 1t=$one%.3f s  8t=$eight%.3f s")
+      }
+      stage("fetchBytes")(i => { ops.Media.WavCodec.fetchBytes(refs(i)); () })
+      stage("decode")(i => { ops.Media.WavCodec.decode(bytes(i)); () })
+      stage("pcm")(i => { ops.Media.WavCodec.pcm(bytes(i)); () })
+      stage("features")(i => { ops.Media.WavCodec.features(bytes(i), 4); () })
+    }
+
     if (which == "all" || which == "audio") {
       // per-stage micro timing of the audio path, single-threaded sample
       val refs = (0 until 500).map(i => s"corpus://audio/doc-$i-0.wav")
@@ -49,6 +97,16 @@ object ProbeR07 {
       time("audio features x500")(bytes.foreach(b => ops.Media.WavCodec.features(b, 4)))
       time("x26 full")(SparkEntry.queries("x26_audio_features")(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
+      // sub-plan split: which stage owns the wall?
+      time("corpus.count")(gen.Corpus.corpus(spark, sfDir).count())
+      time("audioTable.count")(
+        ops.Media.audioTable(gen.Corpus.corpus(spark, sfDir)).count())
+      time("audioFeatures.count")(ops.Media.audioFeatures(
+        ops.Media.audioTable(gen.Corpus.corpus(spark, sfDir)), 4).count())
+      time("x26 count (bench shape)")(
+        SparkEntry.queries("x26_audio_features")(spark, sfDir).count())
+      time("x26 count again")(
+        SparkEntry.queries("x26_audio_features")(spark, sfDir).count())
     }
 
     if (which == "all" || which == "media") {
@@ -78,6 +136,72 @@ object ProbeR07 {
         extract.Extract.parseBlocks(id, sp) })
       time("extract_16x full")(pipeline.Pipeline.extract(
         gen.Corpus.corpus(spark, sfDir, replicate = 16)).count())
+    }
+
+    if (which == "neardup") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // warm
+      ops.Dedup.resolveNearDups(docs, "doc_id", "text", 0.5)
+        .filter("is_keeper = 1").count()
+      val cands = ops.Dedup.minhashCandidates(docs, "doc_id", "text")
+      val nC = time("stage candidates.count")(cands.count())
+      val verified = ops.Dedup.jaccardOnCandidates(docs,
+        ops.Dedup.minhashCandidates(docs, "doc_id", "text"),
+        "doc_id", "text", 0.5)
+      val nV = time("stage verified.count")(verified.count())
+      val cc = time("stage cc")(ops.Dedup.connectedComponents(
+        ops.Dedup.jaccardOnCandidates(docs,
+          ops.Dedup.minhashCandidates(docs, "doc_id", "text"),
+          "doc_id", "text", 0.5), "doc_a", "doc_b").count())
+      println(s"[probe] neardup stages: cands=$nC verified=$nV cc=$cc")
+      time("full resolveNearDups")(
+        ops.Dedup.resolveNearDups(docs, "doc_id", "text", 0.5)
+          .filter("is_keeper = 1").count())
+    }
+
+    if (which == "decon") {
+      val q = SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir)
+      time("x18 count warm")(q.count())
+      time("x18 count")(SparkEntry.queries("x18_decontaminate_grams")(spark, sfDir).count())
+      val docs = graft.SparkEntry.queries("t03_tokens")(spark, sfDir) // warm tables
+      docs.count()
+      // raw gram pipeline cost: words + grams + explode, no join
+      import org.apache.spark.sql.functions._
+      val base = spark.sql(s"SELECT doc_id, ${graft.queries.Dialect.Ctext} AS ctext FROM documents")
+      time("ctext only")(base.selectExpr("length(ctext)").agg(sum("length(ctext)")).count())
+      val w = base.selectExpr("doc_id",
+        "filter(split(lower(regexp_replace(ctext, '[^a-zA-Z0-9]+', ' ')), ' '), w -> length(w) > 0) AS w")
+      time("words pass")(w.selectExpr("size(w)").agg(sum("size(w)")).count())
+      val g = w.selectExpr("doc_id",
+        "CASE WHEN size(w) >= 13 THEN transform(sequence(0, size(w) - 13), i -> xxhash64(array_join(slice(w, i + 1, 13), ' '))) ELSE CAST(array() AS array<bigint>) END AS gs")
+      time("grams pass")(g.selectExpr("size(gs)").agg(sum("size(gs)")).count())
+      time("grams distinct explode")(g.selectExpr("doc_id", "explode(array_distinct(gs)) AS gh").count())
+      time("grams explode (no distinct)")(g.selectExpr("doc_id", "explode(gs) AS gh").count())
+      time("grams explode + global distinct")(
+        g.selectExpr("doc_id", "explode(gs) AS gh").distinct().count())
+      time("grams array_distinct sizes only")(
+        g.selectExpr("size(array_distinct(gs)) AS n").agg(sum("n")).count())
+      // experiment: bench set as a broadcast HashSet + per-row count UDF
+      // (no explode, no join) — compare against the join shape
+      val benchGhs = g.filter("doc_id % 10 = 7")
+        .selectExpr("explode(array_distinct(gs)) AS gh").distinct()
+        .collect().map(_.getLong(0))
+      println(s"[probe] bench gram set size: ${benchGhs.length}")
+      val bcSet = spark.sparkContext.broadcast(benchGhs.toSet)
+      val hits = udf((gs: Seq[Long]) => {
+        val s = bcSet.value
+        var n = 0
+        gs.foreach(g => if (s.contains(g)) n += 1)
+        n
+      })
+      val corpusG = g.filter("doc_id % 10 <> 7")
+        .select(col("doc_id"), array_distinct(col("gs")).as("gs"))
+      time("udf-probe contaminated")(
+        corpusG.select(col("doc_id"), hits(col("gs")).as("n_hits"))
+          .filter(col("n_hits") > 0).count())
+      time("udf-probe contaminated again")(
+        corpusG.select(col("doc_id"), hits(col("gs")).as("n_hits"))
+          .filter(col("n_hits") > 0).count())
     }
 
     if (which == "all" || which == "extras") {

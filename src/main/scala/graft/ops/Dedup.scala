@@ -440,9 +440,22 @@ object Dedup {
     *    so the caller deletes the dir after consuming the result;
     *  - convergence is detected by an (edge count, xxhash64 xor) signature
     *    — one cheap aggregate per round. */
+  /** `smallGraphEdges` (r7): below this canonical-edge count the
+    * components are closed by a SINGLE-TASK union-find over the
+    * materialized edge set instead of the star loop — the same
+    * adaptive-threshold move as a broadcast join (the loop's per-round
+    * fixed cost is ~6 shuffle stages, which dominates wall time when the
+    * verified-pair graph is small, the common case after jaccard
+    * verification). Identical output by construction: union always hangs
+    * the larger root under the smaller, so every root is its component's
+    * min id — the loop's exact labeling (the existing union-find parity
+    * property covers both paths). The default (1M edges, 16 B each) is
+    * a per-task memory bound, not a tuning constant; graphs above it run
+    * the unchanged O(log n) star loop. Set <= 0 to force the loop. */
   def connectedComponents(edges0: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphEdges: Long = 1L << 20): DataFrame = {
     val spark = edges0.sparkSession
     // Reliable cut = per-round parquet under the caller's dir, re-read as
     // the next round's source. Compared to `df.checkpoint(true)`: no
@@ -492,6 +505,36 @@ object Dedup {
     }
     var edges = cut(canonical)
     var sig = signature(edges)
+    if (sig._1 <= smallGraphEdges) {
+      import spark.implicits._
+      // one task closes the whole graph: union-find with min-root union
+      // (root == component min id, matching the loop's labels). The
+      // repartition(1) shuffle re-runs on task retry, so the path keeps
+      // Spark's fault tolerance; edges here are 2 longs each.
+      return edges.select(col("u"), col("v")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          // snapshot the keys first: find() path-compresses (updates
+          // values) and live HashMap iteration under mutation is unsafe
+          val ks = parent.keys.toArray
+          ks.iterator.map(k => (k, find(k)))
+        }
+        .toDF("id", "component")
+    }
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
