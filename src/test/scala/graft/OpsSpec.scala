@@ -52,11 +52,35 @@ class OpsSpec extends AnyFunSuite {
   test("connected components: 64-node path converges (log-round property)") {
     import spark.implicits._
     // a diameter-63 path would defeat naive neighbor label propagation
-    // within the round budget; large-star/small-star closes it in O(log n)
+    // within the round budget; large-star/small-star closes it in O(log n).
+    // smallGraphEdges = 0 FORCES the star loop: since the r7 small-graph
+    // fast path, a test-sized graph would otherwise never exercise it.
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b").collect()
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+      smallGraphEdges = 0L).collect()
     assert(cc.length == 64)
     assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components: small-graph fast path == star loop on every seeded graph") {
+    import spark.implicits._
+    import graft.gen.Corpus.mix
+    // the r7 fast path (single-task union-find under the edge threshold)
+    // must label identically to the forced star loop — same graphs as the
+    // union-find parity case, compared path-vs-path
+    for ((n, m, seed) <- Seq((120, 60, 11L), (120, 150, 12L), (200, 400, 13L))) {
+      val edges = (0 until m).map { i =>
+        val a = math.abs(mix(seed * 7919 + i * 2) % n).toInt
+        val b = math.abs(mix(seed * 7919 + i * 2 + 1) % n).toInt
+        (a, b)
+      }.filter(e => e._1 != e._2).toDF("doc_a", "doc_b")
+      val fast = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+          smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == loop, s"graph(n=$n, m=$m, seed=$seed)")
+    }
   }
 
   test("connected components == local union-find on seeded random graphs") {
@@ -696,8 +720,10 @@ class OpsSpec extends AnyFunSuite {
     val expected = Dedup.connectedComponents(edges, "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    // force the star loop (smallGraphEdges = 0): the round-file cleanup
+    // under test only happens when rounds actually run
     val reliable = Dedup.connectedComponents(edges, "a", "b",
-        checkpointDir = Some(dir.toString))
+        checkpointDir = Some(dir.toString), smallGraphEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == expected)
     // the fault-tolerant form left the FINAL round's files under the

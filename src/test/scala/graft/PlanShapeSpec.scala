@@ -101,7 +101,10 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.listenerManager.register(listener)
     try {
       val edges = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      graft.ops.Dedup.connectedComponents(edges, "doc_a", "doc_b").collect()
+      // force the star loop — the guard exists for the LOOP's join shapes
+      // (the r7 small-graph fast path has no joins at all)
+      graft.ops.Dedup.connectedComponents(edges, "doc_a", "doc_b",
+        smallGraphEdges = 0L).collect()
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000)
       val captured = plans.synchronized(plans.toSeq)
       assert(captured.nonEmpty)
