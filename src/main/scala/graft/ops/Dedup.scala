@@ -401,13 +401,21 @@ object Dedup {
   def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
                           idCol: String, textCol: String,
                           threshold: Double): DataFrame = {
-    val candIds = candidates.select(col("doc_a").as("id"))
-      .union(candidates.select(col("doc_b").as("id"))).distinct()
+    // The candidate frame feeds THREE subtrees (both legs of the candIds
+    // union + the main join) and Spark shares no subtrees — when the
+    // caller's candidate generator is itself expensive (the served-index
+    // probe in Curation.curateShard / incremental verify) it would run
+    // three times (measured: ScaleBench shard_verify 1.6 s -> 11.9 s at
+    // 10x without this cut). One lazy lineage cut makes every reference
+    // read the same blocks; candidate rows are two longs each.
+    val cand = candidates.localCheckpoint(false)
+    val candIds = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
     val w = docs
       .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), wordsOf(col(textCol)).as("ws"))
       .localCheckpoint(false)
-    candidates
+    cand
       .join(w.withColumnRenamed("id", "doc_a").withColumnRenamed("ws", "wa"), "doc_a")
       .join(w.withColumnRenamed("id", "doc_b").withColumnRenamed("ws", "wb"), "doc_b")
       .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
